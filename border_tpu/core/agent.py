@@ -1,0 +1,110 @@
+"""Agent contract.
+
+TPU-native analogue of border-core's ``Policy``/``Agent`` traits
+(border-core/src/base/policy.rs:49-63, base/agent.rs:24-136).  The reference's
+mutable ``Agent`` (train/eval mode flags, ``opt(&mut self, buffer)``) becomes
+a stateless strategy object whose methods are pure functions over an
+:class:`AgentState` pytree — this is what lets the whole
+act→step→push→sample→update loop compile into one XLA program.
+
+Correspondence:
+
+==============================  =========================================
+reference                        border_tpu
+==============================  =========================================
+``Policy::sample`` (train mode)  :meth:`Agent.select_action`
+``Policy::sample`` (eval mode)   :meth:`Agent.select_action_eval`
+``Agent::opt_with_record``       :meth:`Agent.update` → (state, metrics)
+``Agent::save_params``           :meth:`Agent.save`
+``Agent::load_params``           :meth:`Agent.load`
+``SyncModel::model_info``        :meth:`Agent.model_info`
+==============================  =========================================
+
+``update`` consumes a :class:`border_tpu.replay.TransitionBatch` and returns
+``(new_state, metrics_dict, td_errors)`` where ``td_errors`` (or None) feeds
+prioritized-replay priority updates (≙ ReplayBufferBase::update_priority,
+border-core/src/base/replay_buffer.rs:74-127).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+AgentState = Any  # agent-specific pytree (params, target params, opt state, counters)
+
+
+class Agent:
+    """Base class: a bundle of pure functions over an AgentState pytree."""
+
+    name: str = "Agent"
+    # When set (by border_tpu.parallel.sharded), names the mesh axis over
+    # which ``update`` must psum-average its gradients.
+    axis_name = None
+
+    def on_env_step(self, state: AgentState, n: int) -> AgentState:
+        """Advance env-step-driven schedules (ε decay etc.); default no-op."""
+        return state
+
+    # -- construction ------------------------------------------------------
+    def init(self, key: jax.Array, obs_space, act_space) -> AgentState:
+        raise NotImplementedError
+
+    # -- acting ------------------------------------------------------------
+    def select_action(
+        self, state: AgentState, obs: Any, key: jax.Array
+    ) -> jax.Array:
+        """Batched action selection with exploration (train mode)."""
+        raise NotImplementedError
+
+    def select_action_eval(
+        self, state: AgentState, obs: Any, key: jax.Array
+    ) -> jax.Array:
+        """Batched deterministic/greedy action selection (eval mode)."""
+        return self.select_action(state, obs, key)
+
+    # -- learning ----------------------------------------------------------
+    def update(
+        self, state: AgentState, batch: Any
+    ) -> Tuple[AgentState, Dict[str, jax.Array], Optional[jax.Array]]:
+        """One optimization step; returns (state, metrics, td_errors|None)."""
+        raise NotImplementedError
+
+    # -- model sync (≙ SyncModel, border-async-trainer/src/sync_model.rs) --
+    def model_info(self, state: AgentState) -> Tuple[jax.Array, Any]:
+        """(opt-step counter, inference-relevant params) for actor sync."""
+        return state.n_opts, self.policy_params(state)
+
+    def policy_params(self, state: AgentState) -> Any:
+        """The sub-pytree needed for action selection only."""
+        raise NotImplementedError
+
+    def sync_policy(self, state: AgentState, policy_params: Any) -> AgentState:
+        """Install freshly synced policy params into an actor-side state."""
+        raise NotImplementedError
+
+    # -- checkpointing (≙ Agent::save_params/load_params) ------------------
+    def save(self, state: AgentState, path: str) -> None:
+        """Save all learnable state as a flat .npz (portable, backend-free —
+        doubles as the reference's border-policy-no-backend export)."""
+        flat, treedef = jax.tree.flatten(state)
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, f"{self.name}.npz"),
+            *[np.asarray(x) for x in flat],
+        )
+        with open(os.path.join(path, f"{self.name}.treedef.txt"), "w") as f:
+            f.write(str(treedef))
+
+    def load(self, state: AgentState, path: str) -> AgentState:
+        """Load into an existing (template) state pytree."""
+        data = np.load(os.path.join(path, f"{self.name}.npz"))
+        flat, treedef = jax.tree.flatten(state)
+        loaded = [
+            jax.numpy.asarray(data[f"arr_{i}"]).astype(x.dtype).reshape(x.shape)
+            for i, x in enumerate(flat)
+        ]
+        return jax.tree.unflatten(treedef, loaded)

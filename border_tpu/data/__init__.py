@@ -1,0 +1,13 @@
+"""Offline dataset ingestion.
+
+≙ border-minari (MinariDataset → SimpleReplayBuffer,
+border-minari/src/dataset.rs:13-217; normalized-score evaluation,
+border-minari/src/evaluator.rs:13-73).
+"""
+
+from border_tpu.data.datasets import (  # noqa: F401
+    OfflineDataset,
+    collect_dataset,
+    normalized_score,
+    NormalizedEvaluator,
+)

@@ -1,0 +1,147 @@
+"""Pixel-environment machinery: DQN-paper preprocessing, on device.
+
+≙ border-atari-env's SB3-AtariWrapper-equivalent stack
+(border-atari-env/src/env.rs:43-346):
+
+- 4-frame action repeat with max-pool of the last two raw frames
+  (env.rs:126-152),
+- grayscale + 84×84 resize (env.rs:166-187) — envs here render grayscale
+  84×84 directly when they can; :func:`to_gray_84` covers RGB/other sizes,
+- 4-frame stacking ring (env.rs:189-199) — kept in the env state pytree,
+  channels-last [84, 84, 4] (TPU layout; the reference's [1,4,1,84,84]
+  torch NCHW layout is not copied),
+- sign reward clipping in train mode (env.rs:154-164),
+- train/eval flag flips clipping (env/config.rs:1-94).
+
+Everything is static-shape jittable; the "emulator" is whatever pure-JAX
+game implements :class:`PixelGame`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from border_tpu.core import spaces
+from border_tpu.core.env import Environment
+
+FRAME_H = FRAME_W = 84
+
+
+def to_gray_84(rgb: jax.Array) -> jax.Array:
+    """RGB [H, W, 3] uint8 → grayscale 84×84 uint8 (luma weights as in
+    env.rs:166-187)."""
+    gray = (
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    )
+    gray = jax.image.resize(gray, (FRAME_H, FRAME_W), method="bilinear")
+    return jnp.clip(gray, 0, 255).astype(jnp.uint8)
+
+
+class PixelGame:
+    """Single-frame game dynamics contract consumed by PixelEnv.
+
+    - ``init(key) -> game_state``
+    - ``frame_step(key, game_state, action) -> (game_state, reward, done)``
+      advances ONE emulator frame,
+    - ``render(game_state) -> [84, 84] uint8`` grayscale frame,
+    - ``num_actions``, ``name``, ``max_frames``.
+    """
+
+    num_actions: int = 6
+    name: str = "PixelGame"
+    max_frames: int = 27_000  # ≙ ALE frame cap per episode
+
+    def init(self, key: jax.Array):
+        raise NotImplementedError
+
+    def frame_step(self, key, state, action):
+        raise NotImplementedError
+
+    def render(self, state) -> jax.Array:
+        raise NotImplementedError
+
+
+@struct.dataclass
+class PixelEnvState:
+    game: Any
+    frames: jax.Array  # [84, 84, 4] uint8 stack ring (newest last)
+    frame_count: jax.Array
+    t: jax.Array  # env steps (post frame-skip)
+
+
+@struct.dataclass
+class PixelEnvParams:
+    frame_skip: int = struct.field(pytree_node=False, default=4)
+    clip_reward: bool = struct.field(pytree_node=False, default=True)
+    max_frames: int = struct.field(pytree_node=False, default=27_000)
+
+
+class PixelEnv(Environment):
+    """Environment adapter: PixelGame → stacked-frame pixel MDP."""
+
+    def __init__(self, game: PixelGame, train: bool = True):
+        self.game = game
+        self.train = train
+        self.name = game.name
+
+    @property
+    def default_params(self) -> PixelEnvParams:
+        return PixelEnvParams(
+            clip_reward=self.train, max_frames=self.game.max_frames
+        )
+
+    def observation_space(self, params) -> spaces.Box:
+        return spaces.Box(0, 255, (FRAME_H, FRAME_W, 4), jnp.uint8)
+
+    def action_space(self, params) -> spaces.Discrete:
+        return spaces.Discrete(self.game.num_actions)
+
+    def reset_env(self, key, params):
+        game = self.game.init(key)
+        frame = self.game.render(game)
+        frames = jnp.repeat(frame[:, :, None], 4, axis=2)
+        state = PixelEnvState(
+            game=game,
+            frames=frames,
+            frame_count=jnp.int32(0),
+            t=jnp.int32(0),
+        )
+        return frames, state
+
+    def step_env(self, key, state, action, params):
+        keys = jax.random.split(key, params.frame_skip)
+
+        def substep(carry, k):
+            game, total_r, done, prev_frame = carry
+            game2, r, d = self.game.frame_step(k, game, action)
+            # freeze dynamics once the point/episode ended mid-skip
+            game = jax.tree.map(
+                lambda a, b: jax.lax.select(done, a, b), game, game2
+            )
+            total_r = total_r + jnp.where(done, 0.0, r)
+            frame = self.game.render(game)
+            return (game, total_r, jnp.logical_or(done, d), prev_frame), frame
+
+        (game, reward, done, _), rendered = jax.lax.scan(
+            substep,
+            (state.game, jnp.float32(0.0), jnp.bool_(False), state.frames[:, :, -1]),
+            keys,
+        )
+        # max-pool of the last two raw frames (env.rs:126-152)
+        frame = jnp.maximum(rendered[-1], rendered[-2])
+        frames = jnp.concatenate(
+            [state.frames[:, :, 1:], frame[:, :, None]], axis=2
+        )
+        frame_count = state.frame_count + params.frame_skip
+        t = state.t + 1
+        new_state = PixelEnvState(
+            game=game, frames=frames, frame_count=frame_count, t=t
+        )
+        if params.clip_reward:
+            reward = jnp.sign(reward)  # sign clip in train (env.rs:154-164)
+        truncated = (frame_count >= params.max_frames) & ~done
+        return frames, new_state, reward.astype(jnp.float32), done, truncated, {}

@@ -1,0 +1,40 @@
+"""Environment registry — string id → Environment factory.
+
+The reference builds envs from YAML config + name strings
+(Env::build(config, seed), border-core/src/base/env.rs:81-83; GymEnv name
+plumbing border-py-gym-env/src/base.rs:346-473).  Here a flat registry keyed
+by the familiar Gymnasium-style ids serves the same role.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from border_tpu.core.env import Environment
+
+registry: Dict[str, Callable[[], Environment]] = {}
+
+
+def register(name: str, factory: Callable[[], Environment]) -> None:
+    registry[name] = factory
+
+
+def make(name: str, **kwargs) -> Environment:
+    if name not in registry:
+        raise KeyError(
+            f"Unknown env '{name}'. Registered: {sorted(registry)}"
+        )
+    return registry[name](**kwargs)
+
+
+def _register_builtins() -> None:
+    from border_tpu.envs import classic_control as cc
+
+    register("CartPole-v1", cc.CartPole)
+    register("Pendulum-v1", cc.Pendulum)
+    register("MountainCar-v0", cc.MountainCar)
+    register("MountainCarContinuous-v0", cc.MountainCarContinuous)
+    register("Acrobot-v1", cc.Acrobot)
+
+
+_register_builtins()

@@ -1,0 +1,217 @@
+"""Sharded synchronous actor-learner: one program over a device mesh.
+
+TPU-native replacement for border-async-trainer's thread architecture
+(ActorManager + AsyncTrainer + channels, actor_manager/base.rs:23-267,
+async_trainer/base.rs:58-389).  The mapping (SURVEY.md §5.8):
+
+- N actor threads            → ``actors`` mesh axis; each device steps
+  ``num_envs / n_devices`` vectorized env instances,
+- actor→learner channel      → nothing: each device pushes into its *local*
+  HBM replay shard inside the same jitted program,
+- learner on one GPU         → data-parallel learner: every device samples a
+  local sub-batch, computes gradients, and psum-averages them over ICI
+  (``Agent.axis_name`` → ``maybe_pmean``); params stay replicated,
+- model-sync channel         → gone: params are replicated by construction
+  ("sync_interval becomes moot" — the synchronous mode).
+
+Everything (env steps, replay push/sample, grad + optimizer step, collective)
+is one ``shard_map``-ped XLA program per chunk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from border_tpu.core.agent import Agent
+from border_tpu.core.env import Environment, VecEnv
+from border_tpu.record.recorder import Recorder
+from border_tpu.replay.buffer import ReplayBuffer, Transition
+from border_tpu.train.config import TrainerConfig
+from border_tpu.train.evaluator import Evaluator
+from border_tpu.train.trainer import Trainer
+
+
+def _pack(tree: Any) -> Any:
+    """Add a leading per-device axis of size 1 (for P('actors') out_specs)."""
+    return jax.tree.map(lambda x: jnp.asarray(x)[None], tree)
+
+
+def _unpack(tree: Any) -> Any:
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+class ShardedTrainer(Trainer):
+    """Trainer whose chunk runs under shard_map over an ``actors`` axis.
+
+    ``config.num_envs`` and ``config.batch_size`` are *global*; each device
+    owns ``num_envs/n`` envs and a replay shard of ``capacity`` (so global
+    capacity is n× the single-device config, matching per-actor buffers).
+    """
+
+    def __init__(
+        self,
+        env: Environment,
+        agent: Agent,
+        buffer: ReplayBuffer,
+        config: TrainerConfig = TrainerConfig(),
+        recorder: Optional[Recorder] = None,
+        evaluator: Optional[Evaluator] = None,
+        mesh: Optional[Mesh] = None,
+        axis: str = "actors",
+    ):
+        super().__init__(env, agent, buffer, config, recorder, evaluator)
+        if mesh is None:
+            from border_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh((axis,))
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = mesh.shape[axis]
+        if config.num_envs % self.n_dev:
+            raise ValueError("num_envs must divide the actor axis size")
+        if config.batch_size % self.n_dev:
+            raise ValueError("batch_size must divide the actor axis size")
+        self.local_envs = config.num_envs // self.n_dev
+        self.local_batch = config.batch_size // self.n_dev
+        self.vec_local = VecEnv(env, self.local_envs)
+        # the learner's gradients ride a psum over the actors axis
+        agent.axis_name = axis
+
+    # ------------------------------------------------------------------
+    # sharded state init
+    # ------------------------------------------------------------------
+    def init_states(self, k_agent, k_env):
+        agent_state = self.agent.init(
+            k_agent, self.vec.observation_space, self.vec.action_space
+        )
+
+        obs0 = self.vec.observation_space.zero()
+        act0 = self.vec.action_space.zero()
+        example = Transition(
+            obs=obs0,
+            act=act0,
+            next_obs=obs0,
+            reward=jnp.float32(0.0),
+            terminated=jnp.bool_(False),
+            truncated=jnp.bool_(False),
+        )
+
+        def shard_init(key):
+            me = jax.lax.axis_index(self.axis)
+            vec_state = self.vec_local.reset(jax.random.fold_in(key, me))
+            buf_state = self.buffer.init(example)
+            return _pack(vec_state), _pack(buf_state)
+
+        init_fn = shard_map(
+            shard_init,
+            mesh=self.mesh,
+            in_specs=(P(),),
+            out_specs=(P(self.axis), P(self.axis)),
+            check_vma=False,
+        )  # check_vma off: per-device RNG forks make shards intentionally divergent
+        vec_state, buf_state = jax.jit(init_fn)(k_env)
+        return agent_state, vec_state, buf_state
+
+    # ------------------------------------------------------------------
+    # sharded fused chunk
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _chunk(self, agent_state, vec_state, buf_state, key, do_update: bool):
+        def shard_chunk(agent_state, vec_state, buf_state, key):
+            vec_state = _unpack(vec_state)
+            buf_state = _unpack(buf_state)
+            me = jax.lax.axis_index(self.axis)
+            key = jax.random.fold_in(key, me)
+            k_env, k_upd = jax.random.split(key)
+
+            # K local env steps → push to the local replay shard
+            agent_state_env, vec_state, buf_state, ep_ret, ep_cnt = self._env_scan_local(
+                agent_state, vec_state, buf_state, k_env
+            )
+            ep_ret = jax.lax.psum(ep_ret, self.axis)
+            ep_cnt = jax.lax.psum(ep_cnt, self.axis)
+
+            if do_update:
+                # n_samples advanced identically on every device (counts
+                # global transitions) so agent state stays replicated.
+                agent_state, buf_state, metrics = self._update_scan_local(
+                    agent_state_env, buf_state, k_upd
+                )
+                metrics = jax.lax.pmean(metrics, self.axis)
+            else:
+                agent_state = agent_state_env
+                metrics = {}
+            return (
+                agent_state,
+                _pack(vec_state),
+                _pack(buf_state),
+                metrics,
+                ep_ret,
+                ep_cnt,
+            )
+
+        fn = shard_map(
+            shard_chunk,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis), P(self.axis), P()),
+            out_specs=(P(), P(self.axis), P(self.axis), P(), P(), P()),
+            check_vma=False,
+        )
+        return fn(agent_state, vec_state, buf_state, key)
+
+    def _env_scan_local(self, agent_state, vec_state, buf_state, key):
+        def body(carry, k):
+            agent_state, vec_state, buf_state = carry
+            action = self.agent.select_action(agent_state, vec_state.obs, k)
+            prev_obs = vec_state.obs
+            ts, vec_state = self.vec_local.step(vec_state, action)
+            transition = Transition(
+                obs=prev_obs,
+                act=action,
+                next_obs=ts.final_obs,
+                reward=ts.reward,
+                terminated=ts.terminated,
+                truncated=ts.truncated,
+            )
+            buf_state = self.buffer.push(buf_state, transition)
+            # count *global* env steps so ε-decay matches the single-device
+            # trainer at equal global throughput
+            agent_state = self.agent.on_env_step(agent_state, self.config.num_envs)
+            done_f = ts.done.astype(jnp.float32)
+            stats = (jnp.sum(done_f * vec_state.last_return), jnp.sum(done_f))
+            return (agent_state, vec_state, buf_state), stats
+
+        keys = jax.random.split(key, self.config.steps_per_chunk)
+        (agent_state, vec_state, buf_state), (ep_ret, ep_cnt) = jax.lax.scan(
+            body, (agent_state, vec_state, buf_state), keys
+        )
+        return agent_state, vec_state, buf_state, jnp.sum(ep_ret), jnp.sum(ep_cnt)
+
+    def _update_scan_local(self, agent_state, buf_state, key):
+        def body(carry, k):
+            agent_state, buf_state = carry
+            batch = self.buffer.sample(
+                buf_state, k, self.local_batch, n_opts=agent_state.n_opts
+            )
+            agent_state, metrics, td_err = self.agent.update(agent_state, batch)
+            if td_err is not None:
+                buf_state = self.buffer.update_priority(
+                    buf_state, batch.ix_sample, td_err
+                )
+            return (agent_state, buf_state), metrics
+
+        keys = jax.random.split(key, self.updates_per_chunk)
+        (agent_state, buf_state), metrics = jax.lax.scan(
+            body, (agent_state, buf_state), keys
+        )
+        return agent_state, buf_state, jax.tree.map(jnp.mean, metrics)
+
+    # the shell needs the *global* fill level for warmup
+    def _buffer_fill(self, buffer_state) -> int:
+        return int(jnp.sum(buffer_state.size))

@@ -1,0 +1,276 @@
+"""Synchronous trainer: the whole loop body fused into one XLA program.
+
+≙ border-core Trainer (trainer.rs:76-385).  The reference's per-step loop
+
+    Sampler::sample_and_push → Trainer::train_step → post_process
+    (trainer.rs:267-327, sampler.rs:99-144)
+
+runs one env step and at most one opt round per iteration, crossing the
+Rust↔CPython and Rust↔libtorch boundaries each time.  Here the same loop
+body compiles into a single jitted *chunk*:
+
+    lax.scan over K env steps  (num_envs vectorized instances, push to HBM)
+    lax.scan over M updates    (sample from HBM, fused grad/optimizer step)
+
+with M chosen so the update:transition ratio matches the reference's
+``opt_interval`` / ``n_updates_per_opt`` knobs exactly (SURVEY.md §7
+"Update:sample ratio control"): M = K·num_envs/opt_interval · n_updates_per_opt.
+
+The Python shell around the chunk only handles cadences — warmup on buffer
+fill (trainer.rs:197-228), periodic evaluation with best-model selection
+(post_process, trainer.rs:231-264), record flushing, and checkpoints — all at
+chunk granularity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from border_tpu.core.agent import Agent
+from border_tpu.core.env import Environment, VecEnv
+from border_tpu.record.record import Record
+from border_tpu.record.recorder import NullRecorder, Recorder
+from border_tpu.replay.buffer import ReplayBuffer, Transition
+from border_tpu.train.config import TrainerConfig
+from border_tpu.train.evaluator import Evaluator
+
+
+@dataclasses.dataclass
+class TrainResult:
+    """Final states + throughput stats (≙ AsyncTrainStat,
+    border-async-trainer/src/async_trainer/stat.rs:1-27)."""
+
+    agent_state: Any
+    buffer_state: Any
+    env_steps: int
+    opt_steps: int
+    duration_sec: float
+    samples_per_sec: float
+    opt_per_sec: float
+    best_score: float
+    eval_history: List[Tuple[int, float]]
+
+
+class Trainer:
+    def __init__(
+        self,
+        env: Environment,
+        agent: Agent,
+        buffer: ReplayBuffer,
+        config: TrainerConfig = TrainerConfig(),
+        recorder: Optional[Recorder] = None,
+        evaluator: Optional[Evaluator] = None,
+    ):
+        self.env = env
+        self.agent = agent
+        self.buffer = buffer
+        self.config = config
+        self.recorder = recorder or NullRecorder()
+        self.evaluator = evaluator
+        self.vec = VecEnv(env, config.num_envs)
+
+        c = config
+        transitions_per_chunk = c.steps_per_chunk * c.num_envs
+        self.updates_per_chunk = max(
+            1, round(transitions_per_chunk / c.opt_interval)
+        ) * c.n_updates_per_opt
+
+    # ------------------------------------------------------------------
+    # fused chunk
+    # ------------------------------------------------------------------
+    def _env_scan(self, agent_state, vec_state, buf_state, key, explore: bool):
+        """K env steps: act → step → push (≙ Sampler::sample_and_push,
+        trainer/sampler.rs:99-144, batched over num_envs)."""
+
+        def body(carry, k):
+            agent_state, vec_state, buf_state = carry
+            if explore:
+                action = self.agent.select_action(agent_state, vec_state.obs, k)
+            else:
+                action = self.agent.select_action_eval(agent_state, vec_state.obs, k)
+            prev_obs = vec_state.obs
+            ts, vec_state = self.vec.step(vec_state, action)
+            transition = Transition(
+                obs=prev_obs,
+                act=action,
+                next_obs=ts.final_obs,
+                reward=ts.reward,
+                terminated=ts.terminated,
+                truncated=ts.truncated,
+            )
+            buf_state = self.buffer.push(buf_state, transition)
+            agent_state = self.agent.on_env_step(agent_state, self.config.num_envs)
+            done_f = ts.done.astype(jnp.float32)
+            stats = (
+                jnp.sum(done_f * vec_state.last_return),
+                jnp.sum(done_f),
+            )
+            return (agent_state, vec_state, buf_state), stats
+
+        keys = jax.random.split(key, self.config.steps_per_chunk)
+        (agent_state, vec_state, buf_state), (ep_ret, ep_cnt) = jax.lax.scan(
+            body, (agent_state, vec_state, buf_state), keys
+        )
+        return agent_state, vec_state, buf_state, jnp.sum(ep_ret), jnp.sum(ep_cnt)
+
+    def _update_scan(self, agent_state, buf_state, key):
+        """M gradient steps: sample → update → priority feedback
+        (≙ Agent::opt inner loop, dqn/base.rs:182-200)."""
+
+        def body(carry, k):
+            agent_state, buf_state = carry
+            batch = self.buffer.sample(
+                buf_state, k, self.config.batch_size, n_opts=agent_state.n_opts
+            )
+            agent_state, metrics, td_err = self.agent.update(agent_state, batch)
+            if td_err is not None:
+                buf_state = self.buffer.update_priority(
+                    buf_state, batch.ix_sample, td_err
+                )
+            return (agent_state, buf_state), metrics
+
+        keys = jax.random.split(key, self.updates_per_chunk)
+        (agent_state, buf_state), metrics = jax.lax.scan(
+            body, (agent_state, buf_state), keys
+        )
+        mean_metrics = jax.tree.map(jnp.mean, metrics)
+        return agent_state, buf_state, mean_metrics
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _chunk(self, agent_state, vec_state, buf_state, key, do_update: bool):
+        k_env, k_upd = jax.random.split(key)
+        agent_state, vec_state, buf_state, ep_ret, ep_cnt = self._env_scan(
+            agent_state, vec_state, buf_state, k_env, explore=True
+        )
+        if do_update:
+            agent_state, buf_state, metrics = self._update_scan(
+                agent_state, buf_state, k_upd
+            )
+        else:
+            metrics = {}
+        return agent_state, vec_state, buf_state, metrics, ep_ret, ep_cnt
+
+    # ------------------------------------------------------------------
+    # state construction (overridden by ShardedTrainer for sharded init)
+    # ------------------------------------------------------------------
+    def init_states(self, k_agent: jax.Array, k_env: jax.Array):
+        agent_state = self.agent.init(
+            k_agent, self.vec.observation_space, self.vec.action_space
+        )
+        vec_state = self.vec.reset(k_env)
+        obs0 = self.vec.observation_space.zero()
+        act0 = self.vec.action_space.zero()
+        example = Transition(
+            obs=obs0,
+            act=act0,
+            next_obs=obs0,
+            reward=jnp.float32(0.0),
+            terminated=jnp.bool_(False),
+            truncated=jnp.bool_(False),
+        )
+        buffer_state = self.buffer.init(example)
+        return agent_state, vec_state, buffer_state
+
+    def _buffer_fill(self, buffer_state) -> int:
+        return int(buffer_state.size)
+
+    # ------------------------------------------------------------------
+    # orchestration shell (≙ Trainer::train, trainer.rs:267-327)
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        key: Optional[jax.Array] = None,
+        agent_state: Optional[Any] = None,
+        buffer_state: Optional[Any] = None,
+    ) -> TrainResult:
+        c = self.config
+        key = key if key is not None else jax.random.PRNGKey(c.seed)
+        k_agent, k_env, k_loop = jax.random.split(key, 3)
+
+        init_agent, vec_state, init_buffer = self.init_states(k_agent, k_env)
+        if agent_state is None:
+            agent_state = init_agent
+        if buffer_state is None:
+            buffer_state = init_buffer
+
+        env_steps = 0  # transitions pushed (num_envs per vec step)
+        opt_steps = 0
+        best_score = -float("inf")
+        eval_history: List[Tuple[int, float]] = []
+        next_eval = c.eval_interval
+        next_save = c.save_interval if c.save_interval else None
+        next_flush = c.flush_record_interval
+        t0 = time.perf_counter()
+        chunk_i = 0
+
+        while opt_steps < c.max_opts:
+            chunk_i += 1
+            k_loop, k_chunk = jax.random.split(k_loop)
+            warmed = self._buffer_fill(buffer_state) >= max(
+                c.warmup_period, c.batch_size
+            )
+            t_chunk = time.perf_counter()
+            agent_state, vec_state, buffer_state, metrics, ep_ret, ep_cnt = (
+                self._chunk(agent_state, vec_state, buffer_state, k_chunk, warmed)
+            )
+            jax.block_until_ready(agent_state)
+            dt = time.perf_counter() - t_chunk
+
+            env_steps += c.steps_per_chunk * c.num_envs
+            if warmed:
+                opt_steps = int(agent_state.n_opts)
+
+            # -- telemetry (≙ trainer.rs:305-320 record/store/flush) -------
+            rec = Record({k: float(v) for k, v in metrics.items()})
+            cnt = float(ep_cnt)
+            if cnt > 0:
+                rec["episode_return_train"] = float(ep_ret) / cnt
+            rec["env_steps"] = float(env_steps)
+            rec["samples_per_sec"] = c.steps_per_chunk * c.num_envs / dt
+            if warmed:
+                rec["opt_steps_per_sec"] = self.updates_per_chunk / dt
+                rec["average_opt_time_ms"] = 1e3 * dt / self.updates_per_chunk
+            self.recorder.store(rec)
+
+            if opt_steps >= next_flush:
+                self.recorder.flush(opt_steps)
+                next_flush += c.flush_record_interval
+
+            # -- evaluation + best-model (≙ post_process, trainer.rs:231-264)
+            if self.evaluator is not None and opt_steps >= next_eval:
+                score, eval_rec = self.evaluator.evaluate(
+                    self.agent, agent_state, eval_index=len(eval_history)
+                )
+                eval_history.append((opt_steps, score))
+                self.recorder.write_at(eval_rec, opt_steps)
+                if score > best_score:
+                    best_score = score
+                    if self.recorder.model_dir is not None:
+                        self.recorder.save_model("best", self.agent, agent_state)
+                next_eval += c.eval_interval
+
+            if next_save is not None and opt_steps >= next_save:
+                if self.recorder.model_dir is not None:
+                    self.recorder.save_model(str(opt_steps), self.agent, agent_state)
+                next_save += c.save_interval
+
+        duration = time.perf_counter() - t0
+        self.recorder.flush(opt_steps)
+        return TrainResult(
+            agent_state=agent_state,
+            buffer_state=buffer_state,
+            env_steps=env_steps,
+            opt_steps=opt_steps,
+            duration_sec=duration,
+            samples_per_sec=env_steps / duration,
+            opt_per_sec=opt_steps / duration,
+            best_score=best_score,
+            eval_history=eval_history,
+        )

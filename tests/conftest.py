@@ -1,0 +1,30 @@
+"""Test harness configuration.
+
+Runs the whole suite on a virtual 8-device CPU mesh so multi-chip sharding
+logic is exercised without a pod — the analogue of the reference's
+threads-in-one-process async doctest (border-async-trainer/src/lib.rs:1-137),
+as recommended by SURVEY.md §4.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: ambient env may say axon/tpu
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The ambient environment programmatically registers a TPU backend via
+# sitecustomize, overriding JAX_PLATFORMS — force CPU after import too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+
+# This box has few CPU cores, so XLA compiles dominate test wall-time.
+# The persistent cache makes re-runs nearly free.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,161 @@
+"""Agent unit tests: shapes, update mechanics, target-network behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from border_tpu.agents import (
+    AWAC, AWACConfig, BC, BCConfig, DQN, DQNConfig,
+    IQL, IQLConfig, IQN, IQNConfig, SAC, SACConfig,
+)
+from border_tpu.core import spaces
+from border_tpu.replay.buffer import TransitionBatch
+
+OBS = spaces.Box(-1.0, 1.0, (4,), jnp.float32)
+DISC = spaces.Discrete(3)
+CONT = spaces.Box(-2.0, 2.0, (2,), jnp.float32)
+
+
+def _batch(key, act_space, B=32):
+    ks = jax.random.split(key, 4)
+    act = (
+        jax.random.randint(ks[1], (B,), 0, act_space.n)
+        if isinstance(act_space, spaces.Discrete)
+        else jax.random.uniform(ks[1], (B,) + act_space.shape, minval=-1, maxval=1)
+    )
+    return TransitionBatch(
+        obs=jax.random.normal(ks[0], (B, 4)),
+        act=act,
+        next_obs=jax.random.normal(ks[2], (B, 4)),
+        reward=jax.random.normal(ks[3], (B,)),
+        terminated=jnp.zeros((B,), bool),
+        truncated=jnp.zeros((B,), bool),
+        weight=jnp.ones((B,), jnp.float32),
+        ix_sample=jnp.arange(B),
+    )
+
+
+@pytest.mark.parametrize("agent_fn,act_space", [
+    (lambda: DQN(DQNConfig(hidden=(16,))), DISC),
+    (lambda: DQN(DQNConfig(hidden=(16,), double_dqn=True, explorer="softmax")), DISC),
+    (lambda: IQN(IQNConfig(hidden=(16,), feature_dim=16, n_cos=8)), DISC),
+    (lambda: SAC(SACConfig(actor_hidden=(16,), critic_hidden=(16,))), CONT),
+    (lambda: AWAC(AWACConfig(actor_hidden=(16,), critic_hidden=(16,))), CONT),
+    (lambda: IQL(IQLConfig(actor_hidden=(16,), critic_hidden=(16,), value_hidden=(16,))), CONT),
+    (lambda: BC(BCConfig(hidden=(16,))), CONT),
+    (lambda: BC(BCConfig(hidden=(16,), action_mode="discrete")), DISC),
+])
+def test_agent_contract(agent_fn, act_space):
+    agent = agent_fn()
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, act_space)
+
+    obs = jax.random.normal(key, (8, 4))
+    act = agent.select_action(state, obs, key)
+    assert act.shape[0] == 8
+    if isinstance(act_space, spaces.Discrete):
+        a = np.asarray(act)
+        assert a.dtype == np.int32 and (a >= 0).all() and (a < act_space.n).all()
+
+    batch = _batch(key, act_space)
+    new_state, metrics, td = agent.update(state, batch)
+    assert int(new_state.n_opts) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"metric {k} not finite"
+    # params actually changed
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        agent.policy_params(state), agent.policy_params(new_state),
+    )
+    assert any(jax.tree.leaves(changed))
+
+
+def test_dqn_epsilon_decay():
+    agent = DQN(DQNConfig(eps_start=1.0, eps_final=0.1, eps_final_step=100))
+    state = agent.init(jax.random.PRNGKey(0), OBS, DISC)
+    assert np.isclose(float(agent.epsilon(state)), 1.0)
+    state = agent.on_env_step(state, 50)
+    assert np.isclose(float(agent.epsilon(state)), 0.55)
+    state = agent.on_env_step(state, 500)
+    assert np.isclose(float(agent.epsilon(state)), 0.1)
+
+
+def test_dqn_target_network_lags():
+    agent = DQN(DQNConfig(hidden=(8,), tau=0.5, soft_update_interval=1))
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, DISC)
+    batch = _batch(key, DISC, B=16)
+    new_state, _, _ = agent.update(state, batch)
+    # target must move toward but not equal online params
+    p = jax.tree.leaves(new_state.params)[0]
+    t = jax.tree.leaves(new_state.target_params)[0]
+    p0 = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(t))
+    assert np.allclose(np.asarray(t), 0.5 * np.asarray(p) + 0.5 * np.asarray(p0), atol=1e-5)
+
+
+def test_dqn_per_weights_scale_loss():
+    """IS weights must scale gradients (PER path, dqn/base.rs:123-152)."""
+    agent = DQN(DQNConfig(hidden=(8,)))
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, DISC)
+    batch = _batch(key, DISC, B=16)
+    zero_w = batch.replace(weight=jnp.zeros((16,)))
+    new_state, metrics, td = agent.update(state, zero_w)
+    assert np.isclose(float(metrics["loss"]), 0.0)
+    # zero weights → zero grads → params unchanged by adam (0 update)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sac_entropy_tuning_moves_alpha():
+    agent = SAC(SACConfig(actor_hidden=(8,), critic_hidden=(8,), ent_coef_mode="auto"))
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, CONT)
+    batch = _batch(key, CONT, B=16)
+    new_state, metrics, _ = agent.update(state, batch)
+    assert not np.isclose(float(new_state.log_alpha), float(state.log_alpha))
+    assert np.isfinite(float(metrics["ent_coef"]))
+
+
+def test_sac_eval_action_bounded():
+    agent = SAC(SACConfig(actor_hidden=(8,), critic_hidden=(8,)))
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, CONT)
+    obs = 10.0 * jax.random.normal(key, (32, 4))
+    for fn in (agent.select_action, agent.select_action_eval):
+        a = np.asarray(fn(state, obs, key))
+        assert (a >= -2.0 - 1e-5).all() and (a <= 2.0 + 1e-5).all()
+
+
+def test_iqn_tau_strategies():
+    from border_tpu.agents.iqn import sample_taus
+    key = jax.random.PRNGKey(0)
+    assert sample_taus("uniform8", key, 4).shape == (4, 8)
+    assert sample_taus("const32", key, 4).shape == (4, 32)
+    assert sample_taus("median", key, 4).shape == (4, 1)
+    assert np.allclose(np.asarray(sample_taus("median", key, 2)), 0.5)
+    c = np.asarray(sample_taus("const32", key, 1))
+    assert np.isclose(c[0, 0], 1 / 64) and np.isclose(c[0, -1], 63 / 64)
+
+
+def test_quantile_huber_loss_zero_when_equal():
+    from border_tpu.agents.common import quantile_huber_loss
+    pred = jnp.zeros((4, 8))
+    tgt = jnp.zeros((4, 8))
+    taus = jnp.full((4, 8), 0.5)
+    assert np.allclose(np.asarray(quantile_huber_loss(pred, tgt, taus)), 0.0)
+
+
+def test_save_load_roundtrip(tmp_path):
+    agent = DQN(DQNConfig(hidden=(8,)))
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, DISC)
+    state, _, _ = agent.update(state, _batch(key, DISC, B=8))
+    agent.save(state, str(tmp_path))
+    fresh = agent.init(jax.random.PRNGKey(1), OBS, DISC)
+    loaded = agent.load(fresh, str(tmp_path))
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(loaded.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    assert int(loaded.n_opts) == 1

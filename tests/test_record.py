@@ -1,0 +1,80 @@
+"""Record/RecordStorage/Recorder tests (≙ border-core record semantics)."""
+
+import numpy as np
+import pytest
+
+from border_tpu.record import BufferedRecorder, NullRecorder, Record
+from border_tpu.record.record import RecordStorage
+
+
+def test_record_merge_right_biased():
+    a = Record({"x": 1.0, "y": 2.0})
+    b = Record({"y": 3.0, "z": 4.0})
+    m = a.merge(b)
+    assert m.get_scalar("x") == 1.0
+    assert m.get_scalar("y") == 3.0  # right wins (base.rs:166-186)
+    assert m.get_scalar("z") == 4.0
+
+
+def test_record_typed_getters():
+    r = Record({"s": 1.5, "arr": np.zeros((2, 3)), "name": "run1"})
+    assert r.get_scalar("s") == 1.5
+    assert r.get_array("arr").shape == (2, 3)
+    assert r.get_string("name") == "run1"
+    with pytest.raises(TypeError):
+        r.get_scalar("name")
+    with pytest.raises(KeyError):
+        r.get_scalar("missing")
+
+
+def test_get_scalar_without_key():
+    assert Record({"only": 7.0}).get_scalar_without_key() == 7.0
+    with pytest.raises(ValueError):
+        Record({"a": 1.0, "b": 2.0}).get_scalar_without_key()
+
+
+def test_storage_aggregation():
+    """Scalars with >1 values → min/max/mean/median (storage.rs:284-307)."""
+    st = RecordStorage()
+    for v in [1.0, 2.0, 3.0, 10.0]:
+        st.store(Record({"loss": v, "tag": "latest"}))
+    st.store(Record({"single": 5.0}))
+    agg = st.aggregate()
+    assert agg.get_scalar("loss_min") == 1.0
+    assert agg.get_scalar("loss_max") == 10.0
+    assert agg.get_scalar("loss_mean") == 4.0
+    assert agg.get_scalar("loss_median") == 2.5
+    assert agg.get_scalar("single") == 5.0  # single value passes through
+    assert agg.get_string("tag") == "latest"  # non-scalar keeps latest
+    # storage cleared after aggregate
+    assert len(st) == 0
+
+
+def test_buffered_recorder_flush():
+    rec = BufferedRecorder()
+    rec.store(Record({"loss": 1.0}))
+    rec.store(Record({"loss": 3.0}))
+    rec.flush(step=10)
+    assert len(rec.records) == 1
+    assert rec.records[0].get_scalar("loss_mean") == 2.0
+    assert rec.records[0].get_scalar("opt_steps") == 10.0
+
+
+def test_null_recorder_noop():
+    rec = NullRecorder()
+    rec.store(Record({"x": 1.0}))
+    rec.write(Record({"x": 1.0}))
+    rec.flush(1)  # must not raise
+
+
+def test_tensorboard_recorder(tmp_path):
+    from border_tpu.record import TensorboardRecorder
+
+    rec = TensorboardRecorder(str(tmp_path / "tb"))
+    rec.store(Record({"loss": 1.0}))
+    rec.store(Record({"loss": 2.0}))
+    rec.flush(5)
+    rec.close()
+    import glob
+
+    assert glob.glob(str(tmp_path / "tb" / "events.*"))
