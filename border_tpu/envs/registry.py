@@ -36,5 +36,9 @@ def _register_builtins() -> None:
     register("MountainCarContinuous-v0", cc.MountainCarContinuous)
     register("Acrobot-v1", cc.Acrobot)
 
+    from border_tpu.envs.pong import make_pong
+
+    register("Pong-v0", make_pong)
+
 
 _register_builtins()

@@ -11,3 +11,4 @@ nothing (synchronous single program) or a periodic replicated-param refresh
 
 from border_tpu.parallel.mesh import make_mesh  # noqa: F401
 from border_tpu.parallel.sharded import ShardedTrainer  # noqa: F401
+from border_tpu.parallel.async_sharded import ShardedAsyncTrainer  # noqa: F401

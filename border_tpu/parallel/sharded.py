@@ -121,8 +121,11 @@ class ShardedTrainer(Trainer):
     # ------------------------------------------------------------------
     # sharded fused chunk
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 5))
-    def _chunk(self, agent_state, vec_state, buf_state, key, do_update: bool):
+    @partial(jax.jit, static_argnums=(0, 5, 6))
+    def _chunk(
+        self, agent_state, vec_state, buf_state, key, do_update: bool,
+        do_env: bool = True,
+    ):
         def shard_chunk(agent_state, vec_state, buf_state, key):
             vec_state = _unpack(vec_state)
             buf_state = _unpack(buf_state)
@@ -131,11 +134,16 @@ class ShardedTrainer(Trainer):
             k_env, k_upd = jax.random.split(key)
 
             # K local env steps → push to the local replay shard
-            agent_state_env, vec_state, buf_state, ep_ret, ep_cnt = self._env_scan_local(
-                agent_state, vec_state, buf_state, k_env
-            )
-            ep_ret = jax.lax.psum(ep_ret, self.axis)
-            ep_cnt = jax.lax.psum(ep_cnt, self.axis)
+            if do_env:
+                agent_state_env, vec_state, buf_state, ep_ret, ep_cnt = (
+                    self._env_scan_local(agent_state, vec_state, buf_state, k_env)
+                )
+                ep_ret = jax.lax.psum(ep_ret, self.axis)
+                ep_cnt = jax.lax.psum(ep_cnt, self.axis)
+            else:
+                agent_state_env = agent_state
+                ep_ret = jnp.float32(0.0)
+                ep_cnt = jnp.float32(0.0)
 
             if do_update:
                 # n_samples advanced identically on every device (counts
@@ -170,16 +178,11 @@ class ShardedTrainer(Trainer):
             agent_state, vec_state, buf_state = carry
             action = self.agent.select_action(agent_state, vec_state.obs, k)
             prev_obs = vec_state.obs
+            prev_ep_len = vec_state.episode_length
             ts, vec_state = self.vec_local.step(vec_state, action)
-            transition = Transition(
-                obs=prev_obs,
-                act=action,
-                next_obs=ts.final_obs,
-                reward=ts.reward,
-                terminated=ts.terminated,
-                truncated=ts.truncated,
+            buf_state = self.buffer.process_step(
+                buf_state, prev_obs, action, ts, prev_ep_len
             )
-            buf_state = self.buffer.push(buf_state, transition)
             # count *global* env steps so ε-decay matches the single-device
             # trainer at equal global throughput
             agent_state = self.agent.on_env_step(agent_state, self.config.num_envs)
@@ -214,4 +217,6 @@ class ShardedTrainer(Trainer):
 
     # the shell needs the *global* fill level for warmup
     def _buffer_fill(self, buffer_state) -> int:
-        return int(jnp.sum(buffer_state.size))
+        # per-device shards: sum fill over the leading device axis
+        fills = jax.vmap(self.buffer.fill)(buffer_state)
+        return int(jnp.sum(fills))

@@ -13,3 +13,7 @@ from border_tpu.replay.buffer import (  # noqa: F401
     TransitionBatch,
 )
 from border_tpu.replay.sum_tree import SumTree, SumTreeState  # noqa: F401
+from border_tpu.replay.frame_buffer import (  # noqa: F401
+    FrameReplayBuffer,
+    FrameReplayState,
+)

@@ -155,6 +155,25 @@ class ReplayBuffer:
             tree=tree,
         )
 
+    # -- step ingestion (≙ SimpleStepProcessor::process,
+    #    generic_replay_buffer/step_proc.rs:103-137): convert one vec-env
+    #    Timestep into the stored transition format and push ------------
+    def process_step(
+        self, state: ReplayBufferState, prev_obs, action, ts, prev_ep_len
+    ) -> ReplayBufferState:
+        transition = Transition(
+            obs=prev_obs,
+            act=action,
+            next_obs=ts.final_obs,
+            reward=ts.reward,
+            terminated=ts.terminated,
+            truncated=ts.truncated,
+        )
+        return self.push(state, transition)
+
+    def fill(self, state: ReplayBufferState) -> jax.Array:
+        return state.size
+
     # -- sampling (≙ ReplayBufferBase::batch, base.rs:376-402) -------------
     def sample(
         self,

@@ -1,0 +1,160 @@
+"""Frame-deduplicated replay for stacked-frame pixel envs.
+
+The reference stores full 4-frame stacks per transition twice (obs +
+next_obs: TensorBatch [capacity, 4, 84, 84] ×2,
+border-tch-agent/src/tensor_batch.rs:42-127) — at ALE scale (262,144
+transitions, dqn_atari_async_tch/src/config.rs:59-65) that is ~15 GB and
+does not fit v5e HBM.  This buffer stores each 84×84 frame ONCE and
+reconstructs both stacks at sample time by gathering 4 consecutive frames
+per sample — 8× less HBM and 8× less sampling bandwidth.
+
+Layout: per-env columns ``frames[num_envs, capacity, 84, 84]`` — vectorized
+envs push in lockstep, so one scalar write cursor (absolute step count)
+serves all columns and each env's timeline stays contiguous in its ring.
+
+Stack reconstruction at absolute step ``s`` of env ``e``:
+``obs[k] = frames[e, (s - min(3-k, age[e,s])) % cap]`` — the ``age`` clamp
+replays the episode's first frame for under-filled stacks, exactly matching
+the env-side reset behavior (repeat of the initial frame,
+border_tpu.envs.pixel.PixelEnv.reset_env ≙ env.rs:189-199's ring init).
+The next-obs stack uses the ``s+1`` window; at terminated boundaries its
+content belongs to the next episode, which is safe because the TD target
+masks it with ``γ·(1−terminated)`` (dqn/base.rs:91-105 uses only
+is_terminated).  Truncated-boundary next stacks are approximated by the
+reset frame (rare: one transition per 27k-frame cap).
+
+Uniform sampling only (the reference's Atari configs also run PER-less:
+``per_config: None``); samples are drawn from absolute steps
+``[total − size + 4, total − 1)`` so every gathered window is resident.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from border_tpu.replay.buffer import TransitionBatch
+
+
+@struct.dataclass
+class FrameReplayState:
+    frames: jax.Array  # [N, cap, H, W] uint8 — frame observed BEFORE acting
+    act: jax.Array  # [N, cap] int32
+    reward: jax.Array  # [N, cap] f32
+    terminated: jax.Array  # [N, cap] bool
+    truncated: jax.Array  # [N, cap] bool
+    age: jax.Array  # [N, cap] int32 — step index within the episode
+    total: jax.Array  # scalar int32: absolute steps pushed per env
+
+
+class FrameReplayBuffer:
+    """Drop-in replay for the Trainer: same sample() -> TransitionBatch API.
+
+    ``capacity`` is per-env (global capacity = num_envs × capacity).
+    """
+
+    per = None  # uniform only
+
+    def __init__(self, capacity: int, num_envs: int, frame_hw: Tuple[int, int] = (84, 84), stack: int = 4):
+        self.capacity = capacity
+        self.num_envs = num_envs
+        self.frame_hw = frame_hw
+        self.stack = stack
+
+    def init(self, example=None) -> FrameReplayState:
+        n, cap = self.num_envs, self.capacity
+        h, w = self.frame_hw
+        return FrameReplayState(
+            frames=jnp.zeros((n, cap, h, w), jnp.uint8),
+            act=jnp.zeros((n, cap), jnp.int32),
+            reward=jnp.zeros((n, cap), jnp.float32),
+            terminated=jnp.zeros((n, cap), bool),
+            truncated=jnp.zeros((n, cap), bool),
+            age=jnp.zeros((n, cap), jnp.int32),
+            total=jnp.int32(0),
+        )
+
+    # -- ingest (step-processor + push fused; ≙ SimpleStepProcessor,
+    #    border-core/src/generic_replay_buffer/step_proc.rs:37-138) --------
+    def process_step(
+        self, state: FrameReplayState, prev_obs, action, ts, prev_ep_len
+    ) -> FrameReplayState:
+        """Push one lockstep vec-env transition.
+
+        prev_obs: [N, H, W, stack] uint8 (stack's last channel = current
+        frame); ts: Timestep; prev_ep_len: [N] steps already taken this
+        episode (0 right after reset).
+        """
+        p = state.total % self.capacity
+        return state.replace(
+            frames=state.frames.at[:, p].set(prev_obs[..., -1]),
+            act=state.act.at[:, p].set(action.astype(jnp.int32)),
+            reward=state.reward.at[:, p].set(ts.reward.astype(jnp.float32)),
+            terminated=state.terminated.at[:, p].set(ts.terminated),
+            truncated=state.truncated.at[:, p].set(ts.truncated),
+            age=state.age.at[:, p].set(prev_ep_len.astype(jnp.int32)),
+            total=state.total + 1,
+        )
+
+    @property
+    def size_attr(self):
+        return "total"
+
+    def fill(self, state: FrameReplayState) -> jax.Array:
+        """Valid transitions currently resident (global count)."""
+        return jnp.minimum(state.total, self.capacity) * self.num_envs
+
+    # -- sampling ----------------------------------------------------------
+    def _gather_stack(self, state, e, s_abs, ages):
+        """frames[e, window(s_abs)] → [B, H, W, stack]."""
+        ks = jnp.arange(self.stack)  # 0..3, oldest→newest
+        back = self.stack - 1 - ks  # 3..0
+        # clamp window into the episode: replay first frame when short
+        s_k = s_abs[:, None] - jnp.minimum(back[None, :], ages[:, None])
+        idx = (s_k % self.capacity).astype(jnp.int32)
+        g = state.frames[e[:, None], idx]  # [B, stack, H, W]
+        return jnp.moveaxis(g, 1, -1)  # [B, H, W, stack]
+
+    def sample(
+        self,
+        state: FrameReplayState,
+        key: jax.Array,
+        batch_size: int,
+        n_opts: Optional[jax.Array] = None,
+    ) -> TransitionBatch:
+        size = jnp.minimum(state.total, self.capacity)
+        k_e, k_s = jax.random.split(key)
+        e = jax.random.randint(k_e, (batch_size,), 0, self.num_envs)
+        lo = state.total - size + self.stack
+        hi = jnp.maximum(state.total - 1, lo + 1)
+        s = jax.random.randint(k_s, (batch_size,), lo, hi)
+
+        p = (s % self.capacity).astype(jnp.int32)
+        ages = state.age[e, p]
+        obs = self._gather_stack(state, e, s, ages)
+        next_obs = self._gather_stack(state, e, s + 1, ages + 1)
+        return TransitionBatch(
+            obs=obs,
+            act=state.act[e, p],
+            next_obs=next_obs,
+            reward=state.reward[e, p],
+            terminated=state.terminated[e, p],
+            truncated=state.truncated[e, p],
+            weight=jnp.ones((batch_size,), jnp.float32),
+            ix_sample=e * self.capacity + p,
+        )
+
+    def update_priority(self, state, ix_sample, td_err):
+        return state  # uniform only
+
+    def diagnostics(self, state: FrameReplayState):
+        size = jnp.minimum(state.total, self.capacity)
+        valid = jnp.arange(self.capacity)[None, :] < size
+        return {
+            "num_terminated": jnp.sum(jnp.where(valid, state.terminated, False)),
+            "sum_rewards": jnp.sum(jnp.where(valid, state.reward, 0.0)),
+            "size": size * self.num_envs,
+        }

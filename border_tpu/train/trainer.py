@@ -96,16 +96,11 @@ class Trainer:
             else:
                 action = self.agent.select_action_eval(agent_state, vec_state.obs, k)
             prev_obs = vec_state.obs
+            prev_ep_len = vec_state.episode_length
             ts, vec_state = self.vec.step(vec_state, action)
-            transition = Transition(
-                obs=prev_obs,
-                act=action,
-                next_obs=ts.final_obs,
-                reward=ts.reward,
-                terminated=ts.terminated,
-                truncated=ts.truncated,
+            buf_state = self.buffer.process_step(
+                buf_state, prev_obs, action, ts, prev_ep_len
             )
-            buf_state = self.buffer.push(buf_state, transition)
             agent_state = self.agent.on_env_step(agent_state, self.config.num_envs)
             done_f = ts.done.astype(jnp.float32)
             stats = (
@@ -143,12 +138,19 @@ class Trainer:
         mean_metrics = jax.tree.map(jnp.mean, metrics)
         return agent_state, buf_state, mean_metrics
 
-    @partial(jax.jit, static_argnums=(0, 5))
-    def _chunk(self, agent_state, vec_state, buf_state, key, do_update: bool):
+    @partial(jax.jit, static_argnums=(0, 5, 6))
+    def _chunk(
+        self, agent_state, vec_state, buf_state, key, do_update: bool,
+        do_env: bool = True,
+    ):
         k_env, k_upd = jax.random.split(key)
-        agent_state, vec_state, buf_state, ep_ret, ep_cnt = self._env_scan(
-            agent_state, vec_state, buf_state, k_env, explore=True
-        )
+        if do_env:
+            agent_state, vec_state, buf_state, ep_ret, ep_cnt = self._env_scan(
+                agent_state, vec_state, buf_state, k_env, explore=True
+            )
+        else:
+            ep_ret = jnp.float32(0.0)
+            ep_cnt = jnp.float32(0.0)
         if do_update:
             agent_state, buf_state, metrics = self._update_scan(
                 agent_state, buf_state, k_upd
@@ -179,7 +181,7 @@ class Trainer:
         return agent_state, vec_state, buffer_state
 
     def _buffer_fill(self, buffer_state) -> int:
-        return int(buffer_state.size)
+        return int(self.buffer.fill(buffer_state))
 
     # ------------------------------------------------------------------
     # orchestration shell (≙ Trainer::train, trainer.rs:267-327)

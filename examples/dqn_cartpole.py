@@ -1,0 +1,75 @@
+"""DQN on CartPole-v1 — the reference's first parity config.
+
+≙ examples/gym/dqn_cartpole (main.rs:38-53): 10k opt steps, batch 64,
+lr 1e-3, γ 0.99, τ 0.01, replay 10k, warmup 100, eval every 1k (5 episodes).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+from border_tpu.agents import DQN, DQNConfig
+from border_tpu.envs import make
+from border_tpu.record import BufferedRecorder, TensorboardRecorder
+from border_tpu.replay import PerConfig, ReplayBuffer
+from border_tpu.train import Evaluator, Trainer, TrainerConfig
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max-opts", type=int, default=10_000)
+    p.add_argument("--num-envs", type=int, default=128)
+    p.add_argument("--opt-interval", type=int, default=16)
+    p.add_argument("--per", action="store_true")
+    p.add_argument("--out", type=str, default="/tmp/border_tpu_cartpole")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    env = make("CartPole-v1")
+    agent = DQN(
+        DQNConfig(
+            hidden=(64, 64),
+            lr=1e-3,
+            gamma=0.99,
+            tau=0.01,
+            soft_update_interval=1,
+            double_dqn=True,
+            eps_final_step=50_000,
+        )
+    )
+    cfg = TrainerConfig(
+        max_opts=args.max_opts,
+        warmup_period=1_000,
+        opt_interval=args.opt_interval,
+        batch_size=64,
+        num_envs=args.num_envs,
+        steps_per_chunk=32,
+        eval_interval=1_000,
+        eval_episodes=5,
+        seed=args.seed,
+    )
+    buffer = ReplayBuffer(capacity=16_384, per=PerConfig() if args.per else None)
+    recorder = (
+        TensorboardRecorder(args.out)
+        if args.tensorboard
+        else BufferedRecorder(model_dir=args.out)
+    )
+    evaluator = Evaluator(env, n_episodes=5, max_steps=500)
+    result = Trainer(env, agent, buffer, cfg, recorder, evaluator).train()
+    print(f"best eval return={result.best_score:.1f}  "
+          f"samples/s={result.samples_per_sec:,.0f}")
+    for step, score in result.eval_history:
+        print(f"  opt {step:>6d}: eval return {score:.1f}")
+
+
+if __name__ == "__main__":
+    main()

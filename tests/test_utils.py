@@ -1,0 +1,75 @@
+"""Checkpoint (full-state resume) + backend-free export tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from border_tpu.agents import DQN, DQNConfig, SAC, SACConfig
+from border_tpu.core import spaces
+from border_tpu.envs import make
+from border_tpu.replay import ReplayBuffer
+from border_tpu.train import Trainer, TrainerConfig
+from border_tpu.utils import CheckpointManager, NumpyMLPPolicy, export_policy
+
+OBS = spaces.Box(-1.0, 1.0, (4,), jnp.float32)
+DISC = spaces.Discrete(2)
+CONT = spaces.Box(-2.0, 2.0, (1,), jnp.float32)
+
+
+def test_full_state_checkpoint_roundtrip(tmp_path):
+    env = make("CartPole-v1")
+    agent = DQN(DQNConfig(hidden=(8,)))
+    cfg = TrainerConfig(
+        max_opts=5, warmup_period=32, opt_interval=32, batch_size=16,
+        num_envs=8, steps_per_chunk=8, eval_interval=10**9,
+    )
+    tr = Trainer(env, agent, ReplayBuffer(256), cfg)
+    res = tr.train()
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    key = jax.random.PRNGKey(9)
+    mgr.save(res.opt_steps, res.agent_state, res.buffer_state, key=key,
+             extra={"env_steps": res.env_steps})
+
+    # restore into fresh templates
+    k0 = jax.random.PRNGKey(0)
+    fresh_agent, _, fresh_buf = tr.init_states(k0, k0)
+    restored = mgr.restore(fresh_agent, res.buffer_state, key=key,
+                           extra={"env_steps": 0})
+    assert int(restored["agent_state"].n_opts) == int(res.agent_state.n_opts)
+    assert restored["extra"]["env_steps"] == res.env_steps
+    for a, b in zip(
+        jax.tree.leaves(res.agent_state.params),
+        jax.tree.leaves(restored["agent_state"].params),
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    # replay buffer contents survive (the reference loses these — §5.4)
+    assert int(restored["buffer_state"].size) == int(res.buffer_state.size)
+    mgr.close()
+
+
+def test_export_dqn_matches_jax_argmax(tmp_path):
+    agent = DQN(DQNConfig(hidden=(16, 16)))
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, spaces.Discrete(3))
+    path = export_policy(agent, state, str(tmp_path / "policy"))
+    pol = NumpyMLPPolicy(path)
+    obs = np.random.randn(32, 4).astype(np.float32)
+    want = np.asarray(agent.select_action_eval(state, jnp.asarray(obs), key))
+    got = pol(obs)
+    assert np.array_equal(want, got)
+    # single-obs path
+    assert pol(obs[0]) == want[0]
+
+
+def test_export_sac_matches_jax_mean(tmp_path):
+    agent = SAC(SACConfig(actor_hidden=(16,), critic_hidden=(8,)))
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, CONT)
+    path = export_policy(agent, state, str(tmp_path / "policy"))
+    pol = NumpyMLPPolicy(path)
+    obs = np.random.randn(8, 4).astype(np.float32)
+    want = np.asarray(agent.select_action_eval(state, jnp.asarray(obs), key))
+    got = pol(obs)
+    assert np.allclose(want, got, atol=1e-5)
+    assert (np.abs(got) <= 2.0 + 1e-6).all()
