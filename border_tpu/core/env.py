@@ -93,6 +93,16 @@ class Environment:
         """Returns (obs, state, reward, terminated, truncated, info)."""
         raise NotImplementedError
 
+    def post_done_state(
+        self, key: jax.Array, state: EnvState, obs: Any, params: EnvParams
+    ) -> Tuple[Any, EnvState]:
+        """State to continue from after a ``done`` flag — defaults to a fresh
+        reset.  Pixel envs override this for episodic-life semantics
+        (life loss ends the *learning* episode but the game continues,
+        ≙ border-atari-env/src/env.rs:263-299): they return the current
+        state unchanged unless the game is really over."""
+        return self.reset_env(key, params)
+
     # -- convenience single-env API (reset/step with auto-reset fused) -----
     @partial(jax.jit, static_argnums=(0,))
     def reset(self, key: jax.Array, params: Optional[EnvParams] = None):
@@ -113,7 +123,7 @@ class Environment:
         obs_st, st, reward, term, trunc, info = self.step_env(
             key_step, state, action, params
         )
-        obs_re, st_re = self.reset_env(key_reset, params)
+        obs_re, st_re = self.post_done_state(key_reset, st, obs_st, params)
         done = jnp.logical_or(term, trunc)
         state = jax.tree.map(
             lambda a, b: jax.lax.select(done, a, b), st_re, st
@@ -199,9 +209,9 @@ class VecEnv:
         done = jnp.logical_or(term, trunc)
 
         # Fused batched auto-reset: lax.select per instance on the done flag.
-        obs_re, st_re = jax.vmap(self.env.reset_env, in_axes=(0, None))(
-            reset_keys, self.params
-        )
+        obs_re, st_re = jax.vmap(
+            self.env.post_done_state, in_axes=(0, 0, 0, None)
+        )(reset_keys, st, obs_st, self.params)
         select = lambda a, b: jax.vmap(jax.lax.select)(done, a, b)
         new_state = jax.tree.map(select, st_re, st)
         sel_obs = lambda a, b: jnp.where(

@@ -64,6 +64,11 @@ class PixelGame:
     def render(self, state) -> jax.Array:
         raise NotImplementedError
 
+    def lives(self, state) -> jax.Array:
+        """Remaining lives (games without lives return 1).  Drives the
+        episodic-life wrapper semantics (≙ env.rs:263-299)."""
+        return jnp.int32(1)
+
 
 @struct.dataclass
 class PixelEnvState:
@@ -71,12 +76,15 @@ class PixelEnvState:
     frames: jax.Array  # [84, 84, 4] uint8 stack ring (newest last)
     frame_count: jax.Array
     t: jax.Array  # env steps (post frame-skip)
+    lives: jax.Array  # lives at the previous step (episodic-life tracking)
+    game_over: jax.Array  # the game's own terminal flag (not life loss)
 
 
 @struct.dataclass
 class PixelEnvParams:
     frame_skip: int = struct.field(pytree_node=False, default=4)
     clip_reward: bool = struct.field(pytree_node=False, default=True)
+    episodic_life: bool = struct.field(pytree_node=False, default=True)
     max_frames: int = struct.field(pytree_node=False, default=27_000)
 
 
@@ -90,8 +98,11 @@ class PixelEnv(Environment):
 
     @property
     def default_params(self) -> PixelEnvParams:
+        # train mode: sign clip + episodic life (≙ env/config.rs:1-94 flip)
         return PixelEnvParams(
-            clip_reward=self.train, max_frames=self.game.max_frames
+            clip_reward=self.train,
+            episodic_life=self.train,
+            max_frames=self.game.max_frames,
         )
 
     def observation_space(self, params) -> spaces.Box:
@@ -109,6 +120,8 @@ class PixelEnv(Environment):
             frames=frames,
             frame_count=jnp.int32(0),
             t=jnp.int32(0),
+            lives=self.game.lives(game),
+            game_over=jnp.bool_(False),
         )
         return frames, state
 
@@ -138,10 +151,34 @@ class PixelEnv(Environment):
         )
         frame_count = state.frame_count + params.frame_skip
         t = state.t + 1
+        new_lives = self.game.lives(game)
+        life_lost = new_lives < state.lives
         new_state = PixelEnvState(
-            game=game, frames=frames, frame_count=frame_count, t=t
+            game=game,
+            frames=frames,
+            frame_count=frame_count,
+            t=t,
+            lives=new_lives,
+            game_over=done,
         )
         if params.clip_reward:
             reward = jnp.sign(reward)  # sign clip in train (env.rs:154-164)
-        truncated = (frame_count >= params.max_frames) & ~done
-        return frames, new_state, reward.astype(jnp.float32), done, truncated, {}
+        terminated = done
+        if params.episodic_life:
+            # life loss ends the learning episode (env.rs:263-299)
+            terminated = jnp.logical_or(done, life_lost)
+        truncated = (frame_count >= params.max_frames) & ~terminated
+        return frames, new_state, reward.astype(jnp.float32), terminated, truncated, {}
+
+    def post_done_state(self, key, state, obs, params):
+        """Full reset only when the game is really over (or time-capped);
+        after a mere life loss the game continues in place."""
+        obs_re, st_re = self.reset_env(key, params)
+        really_over = jnp.logical_or(
+            state.game_over, state.frame_count >= params.max_frames
+        )
+        st = jax.tree.map(
+            lambda a, b: jax.lax.select(really_over, a, b), st_re, state
+        )
+        new_obs = jnp.where(really_over, obs_re, obs)
+        return new_obs, st

@@ -37,8 +37,12 @@ def _register_builtins() -> None:
     register("Acrobot-v1", cc.Acrobot)
 
     from border_tpu.envs.pong import make_pong
+    from border_tpu.envs.breakout import make_breakout
+    from border_tpu.envs.seaquest import make_seaquest
 
     register("Pong-v0", make_pong)
+    register("Breakout-v0", make_breakout)
+    register("Seaquest-v0", make_seaquest)
 
 
 _register_builtins()

@@ -23,8 +23,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 # This box has few CPU cores, so XLA compiles dominate test wall-time.
-# The persistent cache makes re-runs nearly free.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# The persistent cache makes re-runs nearly free.  Separate dir from the
+# TPU cache — mixing backends poisons AOT entries (machine-feature SIGILLs).
+os.makedirs("/root/repo/.jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
