@@ -3,17 +3,20 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric: **env-steps/s** of DQN-CartPole training (env stepping +
-replay push + sampled batched updates, all in one jitted program), the
-reference's own throughput metric (samples_per_sec,
-border-async-trainer/src/async_trainer/stat.rs:1-27).
+Headline metric (BASELINE.json north star): **env-steps/s of DQN-Pong
+training** — vectorized on-device Pong stepping + frame-dedup replay push +
+batched CNN updates at an 8-samples-per-transition replay ratio, all in one
+jitted program.  This is the reference's own throughput metric
+(samples_per_sec, border-async-trainer/src/async_trainer/stat.rs:1-27);
+multiply by 4 for ALE-frame-equivalents (frame-skip 4, env.rs:126-152).
 
 Baseline: the reference publishes no numbers (BASELINE.md), so the baseline
 is *self-measured on the same machine*: a faithful re-creation of Border's
-synchronous per-step architecture (one env instance, batch-1 eager forward
-per step, one batch-64 update per env step — trainer.rs:267-327 with the
-dqn_cartpole config, examples/gym/dqn_cartpole/src/main.rs:38-53) driven
-from the host.  ``vs_baseline`` = fused/sequential env-steps/s.
+per-step actor architecture for Pong (one env instance, batch-1 eager CNN
+forward per step, one batch-32 update per step — the sync
+trainer.rs:267-327 shape with the dqn_atari config scale) driven from the
+host.  ``vs_baseline`` = fused/per-step env-steps/s.  CartPole numbers are
+included as secondary fields.
 """
 
 from __future__ import annotations
@@ -34,8 +37,77 @@ import jax.numpy as jnp
 from border_tpu.agents import DQN, DQNConfig
 from border_tpu.core.env import VecEnv
 from border_tpu.envs import make
-from border_tpu.replay import ReplayBuffer, Transition
+from border_tpu.models import AtariCNN
+from border_tpu.replay import FrameReplayBuffer, ReplayBuffer, Transition
 from border_tpu.train import Trainer, TrainerConfig
+
+
+def bench_pong_fused(n_chunks: int = 5):
+    """Fused DQN-Pong: env-steps/s and updates/s on one chip."""
+    env = make("Pong-v0")
+    agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                          double_dqn=True, soft_update_interval=2_000, tau=1.0))
+    cfg = TrainerConfig(
+        num_envs=1024, steps_per_chunk=32, batch_size=512,
+        opt_interval=64,  # 8 gradient samples per transition (DQN-paper ratio)
+        warmup_period=0, max_opts=10**9,
+    )
+    buf = FrameReplayBuffer(capacity=256, num_envs=1024)
+    tr = Trainer(env, agent, buf, cfg)
+    key = jax.random.PRNGKey(0)
+    agent_state, vec_state, buf_state = tr.init_states(key, key)
+    out = tr._chunk(agent_state, vec_state, buf_state, key, True)
+    jax.block_until_ready(out[0])
+    agent_state, vec_state, buf_state = out[0], out[1], out[2]
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        key, k = jax.random.split(key)
+        out = tr._chunk(agent_state, vec_state, buf_state, k, True)
+        agent_state, vec_state, buf_state = out[0], out[1], out[2]
+    jax.block_until_ready(agent_state)
+    dt = time.perf_counter() - t0
+    env_steps_s = n_chunks * cfg.steps_per_chunk * cfg.num_envs / dt
+    updates_s = n_chunks * tr.updates_per_chunk / dt
+    return env_steps_s, updates_s
+
+
+def bench_pong_reference_architecture(n_steps: int = 100) -> float:
+    """Border's per-step shape on Pong: 1 env, eager batch-1 CNN act,
+    one batch-32 update per step."""
+    env = make("Pong-v0")
+    agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4))
+    vec = VecEnv(env, 1)
+    buffer = FrameReplayBuffer(capacity=4_096, num_envs=1)
+    key = jax.random.PRNGKey(0)
+    agent_state = agent.init(key, vec.observation_space, vec.action_space)
+    buf_state = buffer.init()
+    vec_state = vec.reset(key)
+
+    select = jax.jit(agent.select_action)
+    proc = jax.jit(buffer.process_step)
+    sample = jax.jit(lambda s, k: buffer.sample(s, k, 32))
+    update = jax.jit(agent.update)
+
+    for i in range(40):  # fill + compile
+        key, k = jax.random.split(key)
+        action = select(agent_state, vec_state.obs, k)
+        prev_obs, prev_len = vec_state.obs, vec_state.episode_length
+        ts, vec_state = vec.step(vec_state, action)
+        buf_state = proc(buf_state, prev_obs, action, ts, prev_len)
+    key, k = jax.random.split(key)
+    agent_state, _, _ = update(agent_state, sample(buf_state, k))
+    jax.block_until_ready(agent_state)
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        action = select(agent_state, vec_state.obs, k1)
+        prev_obs, prev_len = vec_state.obs, vec_state.episode_length
+        ts, vec_state = vec.step(vec_state, action)
+        buf_state = proc(buf_state, prev_obs, action, ts, prev_len)
+        agent_state, _, _ = update(agent_state, sample(buf_state, k2))
+    jax.block_until_ready(agent_state)
+    return n_steps / (time.perf_counter() - t0)
 
 
 def bench_fused(n_chunks: int = 10) -> float:
@@ -125,17 +197,23 @@ def bench_reference_architecture(n_steps: int = 300) -> float:
 
 
 def main():
-    fused = bench_fused()
-    baseline = bench_reference_architecture()
+    pong_eps, pong_ups = bench_pong_fused()
+    pong_base = bench_pong_reference_architecture()
+    cp_fused = bench_fused(n_chunks=5)
+    cp_base = bench_reference_architecture(n_steps=200)
     print(
         json.dumps(
             {
-                "metric": "dqn_cartpole_env_steps_per_sec",
-                "value": round(fused, 1),
+                "metric": "dqn_pong_env_steps_per_sec",
+                "value": round(pong_eps, 1),
                 "unit": "env-steps/s/chip",
-                "vs_baseline": round(fused / baseline, 2),
-                "baseline_env_steps_per_sec": round(baseline, 1),
-                "baseline_def": "Border-style per-step sync loop (1 env, batch-1 act, 1 update/step) on same chip",
+                "vs_baseline": round(pong_eps / pong_base, 2),
+                "pong_updates_per_sec": round(pong_ups, 1),
+                "pong_ale_frames_per_sec": round(4 * pong_eps, 1),
+                "baseline_env_steps_per_sec": round(pong_base, 1),
+                "baseline_def": "Border per-step actor shape on Pong (1 env, batch-1 CNN act, 1 update/step) same chip",
+                "cartpole_env_steps_per_sec": round(cp_fused, 1),
+                "cartpole_vs_baseline": round(cp_fused / cp_base, 2),
             }
         )
     )

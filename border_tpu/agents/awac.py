@@ -19,7 +19,7 @@ import optax
 from flax import struct
 
 from border_tpu.agents import gaussian
-from border_tpu.agents.common import gamma_not_done, make_optimizer, maybe_pmean, polyak_update
+from border_tpu.agents.common import bootstrap_discount, make_optimizer, maybe_pmean, polyak_update
 from border_tpu.core.agent import Agent
 from border_tpu.core import spaces
 from border_tpu.models.mlp import MLP, GaussianHeadMLP
@@ -123,7 +123,7 @@ class AWAC(Agent):
         next_act, _ = self._policy_sample(state.actor_params, next_obs, k_next)
         q_next = jnp.min(self._q(state.critic_target_params, next_obs, next_act), axis=0)
         target = jax.lax.stop_gradient(
-            reward + gamma_not_done(c.gamma, terminated) * q_next
+            reward + bootstrap_discount(c.gamma, batch) * q_next
         )
 
         def critic_loss(critic_params):

@@ -110,3 +110,13 @@ def gamma_not_done(gamma: float, terminated: jax.Array) -> jax.Array:
     (≙ gamma_not_done, border-candle-agent/src/util.rs; dqn/base.rs:91-105
     uses only is_terminated)."""
     return gamma * (1.0 - terminated.astype(jnp.float32))
+
+
+def bootstrap_discount(gamma: float, batch) -> jax.Array:
+    """Bootstrap factor for a sampled batch: γ·(1−terminated) for 1-step
+    batches, or the buffer-provided γ^m·(1−terminated) when the batch
+    carries n-step discounts."""
+    not_done = 1.0 - batch.terminated.astype(jnp.float32)
+    if getattr(batch, "discount", None) is not None:
+        return batch.discount * not_done
+    return gamma * not_done

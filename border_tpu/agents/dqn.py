@@ -31,7 +31,7 @@ from flax import struct
 
 from border_tpu.agents.common import (
     CRITIC_LOSSES,
-    gamma_not_done,
+    bootstrap_discount,
     make_optimizer,
     maybe_pmean,
     periodic_polyak,
@@ -148,7 +148,7 @@ class DQN(Agent):
         else:
             a_star = jnp.argmax(q_next_tgt, axis=-1)
         q_next = jnp.take_along_axis(q_next_tgt, a_star[:, None], axis=-1)[:, 0]
-        target = reward + gamma_not_done(c.gamma, terminated) * q_next
+        target = reward + bootstrap_discount(c.gamma, batch) * q_next
         target = jax.lax.stop_gradient(target)
 
         loss_fn = CRITIC_LOSSES[c.loss]

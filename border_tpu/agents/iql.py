@@ -18,7 +18,7 @@ import optax
 from flax import struct
 
 from border_tpu.agents import gaussian
-from border_tpu.agents.common import gamma_not_done, make_optimizer, maybe_pmean, polyak_update
+from border_tpu.agents.common import bootstrap_discount, make_optimizer, maybe_pmean, polyak_update
 from border_tpu.core.agent import Agent
 from border_tpu.core import spaces
 from border_tpu.models.mlp import MLP, GaussianHeadMLP
@@ -142,7 +142,7 @@ class IQL(Agent):
         # --- critic: target r + γ(1−d)·V(s') (iql/base.rs:88-121)
         v_next = self.value.apply(value_params, next_obs)[:, 0]
         target = jax.lax.stop_gradient(
-            reward + gamma_not_done(c.gamma, terminated) * v_next
+            reward + bootstrap_discount(c.gamma, batch) * v_next
         )
 
         def critic_loss(critic_params):

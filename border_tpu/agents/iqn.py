@@ -26,7 +26,7 @@ import optax
 from flax import struct
 
 from border_tpu.agents.common import (
-    gamma_not_done,
+    bootstrap_discount,
     make_optimizer,
     maybe_pmean,
     periodic_polyak,
@@ -158,7 +158,7 @@ class IQN(Agent):
         z_next_a = jnp.take_along_axis(
             z_next, a_star[:, None, None], axis=-1
         )[..., 0]  # [B, Kt]
-        tgt = reward[:, None] + gamma_not_done(c.gamma, terminated)[:, None] * z_next_a
+        tgt = reward[:, None] + bootstrap_discount(c.gamma, batch)[:, None] * z_next_a
         tgt = jax.lax.stop_gradient(tgt)
 
         taus_pred = sample_taus(c.sample_percents_pred, k_pred, B)

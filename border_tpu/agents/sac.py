@@ -31,7 +31,7 @@ from flax import struct
 
 from border_tpu.agents.common import (
     CRITIC_LOSSES,
-    gamma_not_done,
+    bootstrap_discount,
     make_optimizer,
     maybe_pmean,
     polyak_update,
@@ -177,7 +177,7 @@ class SAC(Agent):
         next_act, next_logp = self._sample_action(state.actor_params, next_obs, k_next)
         q_next = self._q_values(state.critic_target_params, next_obs, next_act)
         min_q_next = jnp.min(q_next, axis=0)  # min over ensemble (:96-105)
-        target = reward + gamma_not_done(c.gamma, terminated) * (
+        target = reward + bootstrap_discount(c.gamma, batch) * (
             min_q_next - alpha * next_logp
         )
         target = jax.lax.stop_gradient(target)

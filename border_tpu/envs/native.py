@@ -1,0 +1,158 @@
+"""Native (C++) vectorized host environments + async device feeding.
+
+≙ the reference's native env layer: ALE C++ behind FFI
+(border-atari-env/src/atari_env/ale.rs:62-100) and the actor thread pool
+(border-async-trainer ActorManager).  Here:
+
+- :class:`NativeVecEnv` — ctypes binding to ``cpp/libenvpool.so``: N env
+  instances stepped by a C++ worker-thread pool, results written directly
+  into numpy buffers (no per-step allocation).
+- :class:`AsyncEnvFeeder` — double-buffered host→device pipeline: a
+  background thread steps the native envs with the *previous* policy's
+  actions while the device computes, so host env time hides behind device
+  time (SURVEY.md §2.1's "host-side C++ vectorized ALE feeding the device
+  via double-buffered transfers").
+
+Pure-JAX envs don't use this path — they run inside the jitted program.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import queue
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
+_LIB_PATH = os.path.join(_CPP_DIR, "libenvpool.so")
+
+ENV_IDS = {"CartPole-v1": 0, "Pendulum-v1": 1}
+
+
+def _load_lib() -> ctypes.CDLL:
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _CPP_DIR], check=True, capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.envpool_create.restype = ctypes.c_void_p
+    lib.envpool_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.envpool_obs_dim.restype = ctypes.c_int
+    lib.envpool_obs_dim.argtypes = [ctypes.c_void_p]
+    lib.envpool_num_actions.restype = ctypes.c_int
+    lib.envpool_num_actions.argtypes = [ctypes.c_void_p]
+    lib.envpool_reset.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.envpool_step.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.envpool_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def native_available() -> bool:
+    global _lib
+    if _lib is not None:
+        return True
+    try:
+        _lib = _load_lib()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+class NativeVecEnv:
+    """N C++ envs stepped in lockstep with auto-reset (host side)."""
+
+    def __init__(self, env_name: str, num_envs: int, seed: int = 0,
+                 n_threads: Optional[int] = None):
+        if not native_available():
+            raise RuntimeError("cpp/libenvpool.so could not be built/loaded")
+        if env_name not in ENV_IDS:
+            raise KeyError(f"native env {env_name!r} not in {sorted(ENV_IDS)}")
+        if n_threads is None:
+            n_threads = min(os.cpu_count() or 1, 8)
+        self._h = _lib.envpool_create(
+            ENV_IDS[env_name], num_envs, seed, n_threads
+        )
+        if not self._h:
+            raise RuntimeError("envpool_create failed")
+        self.num_envs = num_envs
+        self.obs_dim = _lib.envpool_obs_dim(self._h)
+        self.num_actions = _lib.envpool_num_actions(self._h)
+        self._obs = np.zeros((num_envs, self.obs_dim), np.float32)
+        self._rew = np.zeros((num_envs,), np.float32)
+        self._term = np.zeros((num_envs,), np.uint8)
+        self._trunc = np.zeros((num_envs,), np.uint8)
+
+    def reset(self) -> np.ndarray:
+        _lib.envpool_reset(self._h, self._obs.ctypes.data)
+        return self._obs.copy()
+
+    def step(self, actions: np.ndarray
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        actions = np.ascontiguousarray(actions, np.int32)
+        _lib.envpool_step(
+            self._h,
+            actions.ctypes.data,
+            self._obs.ctypes.data,
+            self._rew.ctypes.data,
+            self._term.ctypes.data,
+            self._trunc.ctypes.data,
+        )
+        return (
+            self._obs.copy(),
+            self._rew.copy(),
+            self._term.astype(bool),
+            self._trunc.astype(bool),
+        )
+
+    def close(self):
+        if self._h:
+            _lib.envpool_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AsyncEnvFeeder:
+    """Double-buffered host env stepping overlapped with device compute.
+
+    Protocol: ``submit(actions)`` hands the next actions to the worker and
+    returns immediately; ``collect()`` blocks for the previous step's
+    results.  With one step of pipelining the host env time overlaps the
+    device's forward/update time.
+    """
+
+    def __init__(self, env: NativeVecEnv):
+        self.env = env
+        self._in: "queue.Queue" = queue.Queue(maxsize=2)
+        self._out: "queue.Queue" = queue.Queue(maxsize=2)
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def _loop(self):
+        while True:
+            actions = self._in.get()
+            if actions is None:
+                return
+            self._out.put(self.env.step(actions))
+
+    def submit(self, actions: np.ndarray) -> None:
+        self._in.put(np.asarray(actions))
+
+    def collect(self):
+        return self._out.get()
+
+    def close(self):
+        self._in.put(None)
+        self._worker.join(timeout=5)
+        self.env.close()

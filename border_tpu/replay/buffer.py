@@ -52,11 +52,15 @@ class TransitionBatch(Transition):
     """Sampled batch: transition + PER bookkeeping.
 
     ``unpack()`` mirrors TransitionBatch::unpack's 8-tuple
-    (border-core/src/base/batch.rs:37-96).
+    (border-core/src/base/batch.rs:37-96).  ``discount`` is the n-step
+    bootstrap factor γ^m (None for 1-step batches) — the n>1 backup the
+    reference documents but never implements (batch.rs:19-23,
+    step_proc.rs:6-7) is fully supported here.
     """
 
     weight: jax.Array = None  # IS weights (ones when uniform)
     ix_sample: jax.Array = None  # storage indices (for update_priority)
+    discount: Optional[jax.Array] = None  # γ^m for n-step batches
 
     def unpack(self):
         return (

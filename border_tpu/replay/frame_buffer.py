@@ -58,11 +58,26 @@ class FrameReplayBuffer:
 
     per = None  # uniform only
 
-    def __init__(self, capacity: int, num_envs: int, frame_hw: Tuple[int, int] = (84, 84), stack: int = 4):
+    def __init__(
+        self,
+        capacity: int,
+        num_envs: int,
+        frame_hw: Tuple[int, int] = (84, 84),
+        stack: int = 4,
+        n_step: int = 1,
+        gamma: float = 0.99,
+    ):
+        """``n_step > 1`` enables n-step backups: sampled batches carry
+        ``reward = Σ γ^k r_{t+k}`` (stopped at the first episode boundary),
+        ``next_obs`` from t+m, and ``discount = γ^m`` — the n>1 extension
+        the reference documents but never implements
+        (border-core/src/base/batch.rs:19-23)."""
         self.capacity = capacity
         self.num_envs = num_envs
         self.frame_hw = frame_hw
         self.stack = stack
+        self.n_step = n_step
+        self.gamma = gamma
 
     def init(self, example=None) -> FrameReplayState:
         n, cap = self.num_envs, self.capacity
@@ -129,22 +144,51 @@ class FrameReplayBuffer:
         k_e, k_s = jax.random.split(key)
         e = jax.random.randint(k_e, (batch_size,), 0, self.num_envs)
         lo = state.total - size + self.stack
-        hi = jnp.maximum(state.total - 1, lo + 1)
+        hi = jnp.maximum(state.total - self.n_step, lo + 1)
         s = jax.random.randint(k_s, (batch_size,), lo, hi)
 
         p = (s % self.capacity).astype(jnp.int32)
         ages = state.age[e, p]
         obs = self._gather_stack(state, e, s, ages)
-        next_obs = self._gather_stack(state, e, s + 1, ages + 1)
+
+        if self.n_step == 1:
+            next_obs = self._gather_stack(state, e, s + 1, ages + 1)
+            return TransitionBatch(
+                obs=obs,
+                act=state.act[e, p],
+                next_obs=next_obs,
+                reward=state.reward[e, p],
+                terminated=state.terminated[e, p],
+                truncated=state.truncated[e, p],
+                weight=jnp.ones((batch_size,), jnp.float32),
+                ix_sample=e * self.capacity + p,
+            )
+
+        # --- n-step accumulation, stopped at the first episode boundary
+        ks = jnp.arange(self.n_step)  # [n]
+        pk = ((s[:, None] + ks[None, :]) % self.capacity).astype(jnp.int32)
+        r_k = state.reward[e[:, None], pk]  # [B, n]
+        done_k = (
+            state.terminated[e[:, None], pk] | state.truncated[e[:, None], pk]
+        )
+        # continuing[b, k] = no boundary strictly before step k
+        prior_done = jnp.cumsum(done_k.astype(jnp.int32), axis=1) - done_k
+        continuing = (prior_done == 0).astype(jnp.float32)
+        gammas = self.gamma ** ks.astype(jnp.float32)
+        reward_n = jnp.sum(r_k * gammas[None, :] * continuing, axis=1)
+        m = jnp.sum(continuing, axis=1).astype(jnp.int32)  # steps taken ≤ n
+        p_last = ((s + m - 1) % self.capacity).astype(jnp.int32)
+        next_obs = self._gather_stack(state, e, s + m, ages + m)
         return TransitionBatch(
             obs=obs,
             act=state.act[e, p],
             next_obs=next_obs,
-            reward=state.reward[e, p],
-            terminated=state.terminated[e, p],
-            truncated=state.truncated[e, p],
+            reward=reward_n,
+            terminated=state.terminated[e, p_last],
+            truncated=state.truncated[e, p_last],
             weight=jnp.ones((batch_size,), jnp.float32),
             ix_sample=e * self.capacity + p,
+            discount=self.gamma ** m.astype(jnp.float32),
         )
 
     def update_priority(self, state, ix_sample, td_err):

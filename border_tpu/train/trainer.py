@@ -245,6 +245,24 @@ class Trainer:
                 self.recorder.flush(opt_steps)
                 next_flush += c.flush_record_interval
 
+            # -- periodic per-tensor param stats (≙ param_stats records,
+            #    border-tch-agent/src/util.rs:66-80, cadence
+            #    record_agent_info_interval trainer/config.rs)
+            if (
+                c.record_agent_info_interval
+                and warmed
+                and opt_steps >= getattr(self, "_next_agent_info", 0)
+            ):
+                from border_tpu.agents.common import param_stats
+
+                stats = param_stats(
+                    self.agent.policy_params(agent_state), prefix="param/"
+                )
+                self.recorder.write_at(
+                    Record({k: float(v) for k, v in stats.items()}), opt_steps
+                )
+                self._next_agent_info = opt_steps + c.record_agent_info_interval
+
             # -- evaluation + best-model (≙ post_process, trainer.rs:231-264)
             if self.evaluator is not None and opt_steps >= next_eval:
                 score, eval_rec = self.evaluator.evaluate(

@@ -80,6 +80,31 @@ def test_ring_wraparound_sampling_in_range():
     assert set(np.unique(pos)).issubset({0, 1, 2})
 
 
+def test_nstep_rewards_and_discount():
+    """n-step: reward = Σ γ^k r, stopped at boundaries, discount = γ^m."""
+    n_step, gamma = 3, 0.9
+    buf = FrameReplayBuffer(capacity=64, num_envs=2, n_step=n_step, gamma=gamma)
+    buf, bstate, log = _fill(buf, steps=30)
+    batch = buf.sample(bstate, jax.random.PRNGKey(5), 256)
+    ix = np.asarray(batch.ix_sample)
+    rew_n = np.asarray(batch.reward)
+    disc = np.asarray(batch.discount)
+
+    raw_r = np.stack([l[2] for l in log])  # [T, E]
+    ages = np.stack([l[3] for l in log])  # [T, E] step-in-episode pre-step
+    for b in range(256):
+        e, s = ix[b] // buf.capacity, ix[b] % buf.capacity
+        want, m = 0.0, 0
+        for k in range(n_step):
+            # boundary before step k: next step starts a new episode
+            if k > 0 and ages[s + k][e] == 0:
+                break
+            want += gamma**k * raw_r[s + k][e]
+            m += 1
+        assert np.isclose(rew_n[b], want, atol=1e-5), (b, e, s, rew_n[b], want)
+        assert np.isclose(disc[b], gamma**m, atol=1e-6)
+
+
 def test_trainer_with_frame_buffer_runs():
     env = make("Pong-v0")
     agent = DQN(
