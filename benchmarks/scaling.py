@@ -1,0 +1,87 @@
+"""Scaling-efficiency measurement over a device mesh.
+
+≙ BASELINE.md target: env-steps/s at 1 chip / 1 host / N hosts with ≥80%
+efficiency.  Runs the sharded actor-learner chunk on meshes of growing size
+and reports per-size throughput + efficiency vs linear scaling.
+
+On a real pod slice this measures ICI scaling; on the virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) it validates the
+sharded program's correctness and host-side overhead only.
+
+Usage: python benchmarks/scaling.py [--env CartPole-v1] [--chunks 10]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+cache = "/root/repo/.jax_cache" if jax.default_backend() != "cpu" else "/root/repo/.jax_cache_cpu"
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+from border_tpu.agents import DQN, DQNConfig
+from border_tpu.envs import make
+from border_tpu.parallel import ShardedTrainer, make_mesh
+from border_tpu.replay import ReplayBuffer
+from border_tpu.train import TrainerConfig
+
+
+def measure(n_dev: int, env_name: str, chunks: int, envs_per_dev: int) -> float:
+    mesh = make_mesh(("actors",), devices=jax.devices()[:n_dev])
+    env = make(env_name)
+    agent = DQN(DQNConfig(double_dqn=True))
+    cfg = TrainerConfig(
+        num_envs=envs_per_dev * n_dev,
+        steps_per_chunk=64,
+        batch_size=256 * n_dev,
+        opt_interval=256,
+        warmup_period=0,
+        max_opts=10**9,
+    )
+    tr = ShardedTrainer(env, agent, ReplayBuffer(capacity=16_384), cfg, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    agent_state, vec_state, buf_state = tr.init_states(key, key)
+    out = tr._chunk(agent_state, vec_state, buf_state, key, True)
+    jax.block_until_ready(out[0])
+    agent_state, vec_state, buf_state = out[0], out[1], out[2]
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        key, k = jax.random.split(key)
+        out = tr._chunk(agent_state, vec_state, buf_state, k, True)
+        agent_state, vec_state, buf_state = out[0], out[1], out[2]
+    jax.block_until_ready(agent_state)
+    dt = time.perf_counter() - t0
+    return chunks * cfg.steps_per_chunk * cfg.num_envs / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="CartPole-v1")
+    p.add_argument("--chunks", type=int, default=10)
+    p.add_argument("--envs-per-dev", type=int, default=512)
+    args = p.parse_args()
+
+    n_total = jax.device_count()
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+    results = {}
+    base = None
+    for n in sizes:
+        eps = measure(n, args.env, args.chunks, args.envs_per_dev)
+        if base is None:
+            base = eps
+        eff = eps / (base * n)
+        results[str(n)] = {"env_steps_per_sec": round(eps), "efficiency": round(eff, 3)}
+        print(f"devices={n:>2}  {eps:>14,.0f} env-steps/s  efficiency={eff:.1%}")
+    print(json.dumps({"metric": "scaling", "env": args.env, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

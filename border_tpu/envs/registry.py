@@ -44,5 +44,10 @@ def _register_builtins() -> None:
     register("Breakout-v0", make_breakout)
     register("Seaquest-v0", make_seaquest)
 
+    from border_tpu.envs.reacher import FlattenDictWrapper, Reacher
+
+    register("Reacher-v0", Reacher)
+    register("ReacherFlat-v0", lambda: FlattenDictWrapper(Reacher()))
+
 
 _register_builtins()

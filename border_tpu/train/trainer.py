@@ -67,6 +67,8 @@ class Trainer:
         config: TrainerConfig = TrainerConfig(),
         recorder: Optional[Recorder] = None,
         evaluator: Optional[Evaluator] = None,
+        checkpoint_manager=None,
+        checkpoint_interval: int = 0,
     ):
         self.env = env
         self.agent = agent
@@ -74,6 +76,10 @@ class Trainer:
         self.config = config
         self.recorder = recorder or NullRecorder()
         self.evaluator = evaluator
+        # full-training-state snapshots (superset of the reference's
+        # model-only saves — SURVEY.md §5.4); 0 disables
+        self.checkpoint_manager = checkpoint_manager
+        self.checkpoint_interval = checkpoint_interval
         self.vec = VecEnv(env, config.num_envs)
 
         c = config
@@ -280,6 +286,21 @@ class Trainer:
                 if self.recorder.model_dir is not None:
                     self.recorder.save_model(str(opt_steps), self.agent, agent_state)
                 next_save += c.save_interval
+
+            if (
+                self.checkpoint_manager is not None
+                and self.checkpoint_interval
+                and opt_steps >= getattr(self, "_next_ckpt", self.checkpoint_interval)
+            ):
+                self.checkpoint_manager.save(
+                    opt_steps,
+                    agent_state,
+                    buffer_state,
+                    vec_state,
+                    key=k_loop,
+                    extra={"env_steps": env_steps, "best_score": best_score},
+                )
+                self._next_ckpt = opt_steps + self.checkpoint_interval
 
         duration = time.perf_counter() - t0
         self.recorder.flush(opt_steps)
