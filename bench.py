@@ -86,7 +86,7 @@ def bench_pong_reference_architecture(n_steps: int = 100) -> float:
     select = jax.jit(agent.select_action)
     proc = jax.jit(buffer.process_step)
     sample = jax.jit(lambda s, k: buffer.sample(s, k, 32))
-    update = jax.jit(agent.update)
+    update = jax.jit(lambda s, b, k: agent.update(s, b, k))
 
     for i in range(40):  # fill + compile
         key, k = jax.random.split(key)
@@ -95,7 +95,7 @@ def bench_pong_reference_architecture(n_steps: int = 100) -> float:
         ts, vec_state = vec.step(vec_state, action)
         buf_state = proc(buf_state, prev_obs, action, ts, prev_len)
     key, k = jax.random.split(key)
-    agent_state, _, _ = update(agent_state, sample(buf_state, k))
+    agent_state, _, _ = update(agent_state, sample(buf_state, k), k)
     jax.block_until_ready(agent_state)
 
     t0 = time.perf_counter()
@@ -105,7 +105,7 @@ def bench_pong_reference_architecture(n_steps: int = 100) -> float:
         prev_obs, prev_len = vec_state.obs, vec_state.episode_length
         ts, vec_state = vec.step(vec_state, action)
         buf_state = proc(buf_state, prev_obs, action, ts, prev_len)
-        agent_state, _, _ = update(agent_state, sample(buf_state, k2))
+        agent_state, _, _ = update(agent_state, sample(buf_state, k2), k2)
     jax.block_until_ready(agent_state)
     return n_steps / (time.perf_counter() - t0)
 
@@ -165,7 +165,7 @@ def bench_reference_architecture(n_steps: int = 300) -> float:
     select = jax.jit(agent.select_action)
     push = jax.jit(buffer.push)
     sample = jax.jit(lambda s, k: buffer.sample(s, k, 64))
-    update = jax.jit(agent.update)
+    update = jax.jit(lambda s, b, k: agent.update(s, b, k))
 
     # warmup fill + compile
     for i in range(70):
@@ -178,7 +178,7 @@ def bench_reference_architecture(n_steps: int = 300) -> float:
             terminated=ts.terminated, truncated=ts.truncated,
         ))
     key, k = jax.random.split(key)
-    agent_state, _, _ = update(agent_state, sample(buf_state, k))
+    agent_state, _, _ = update(agent_state, sample(buf_state, k), k)
     jax.block_until_ready(agent_state)
 
     t0 = time.perf_counter()
@@ -191,7 +191,7 @@ def bench_reference_architecture(n_steps: int = 300) -> float:
             obs=prev_obs, act=action, next_obs=ts.final_obs, reward=ts.reward,
             terminated=ts.terminated, truncated=ts.truncated,
         ))
-        agent_state, _, _ = update(agent_state, sample(buf_state, k2))
+        agent_state, _, _ = update(agent_state, sample(buf_state, k2), k2)
     jax.block_until_ready(agent_state)
     return n_steps / (time.perf_counter() - t0)
 

@@ -110,13 +110,12 @@ class AWAC(Agent):
         return state.replace(n_samples=state.n_samples + n)
 
     def update(
-        self, state: AWACState, batch: TransitionBatch
+        self, state: AWACState, batch: TransitionBatch, key: jax.Array = None
     ) -> Tuple[AWACState, Dict[str, jax.Array], jax.Array]:
         c = self.config
         obs, act, next_obs, reward, terminated, _t, _i, weight = batch.unpack()
         act2d = act.reshape(act.shape[0], -1)
         reward = reward.astype(jnp.float32)
-        key = jax.random.fold_in(jax.random.PRNGKey(2), state.n_opts)
         k_next, k_pi = jax.random.split(key)
 
         # --- critic (update_critic, awac/base.rs:66-126)

@@ -73,7 +73,7 @@ class BC(Agent):
         return state.replace(n_samples=state.n_samples + n)
 
     def update(
-        self, state: BCState, batch: TransitionBatch
+        self, state: BCState, batch: TransitionBatch, key: jax.Array = None
     ) -> Tuple[BCState, Dict[str, jax.Array], None]:
         obs, act = batch.obs, batch.act
 

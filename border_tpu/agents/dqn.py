@@ -132,7 +132,7 @@ class DQN(Agent):
 
     # -- learning (≙ update_critic, dqn/base.rs:60-160) --------------------
     def update(
-        self, state: DQNState, batch: TransitionBatch
+        self, state: DQNState, batch: TransitionBatch, key: jax.Array = None
     ) -> Tuple[DQNState, Dict[str, jax.Array], jax.Array]:
         c = self.config
         obs, act, next_obs, reward, terminated, _trunc, _ix, weight = batch.unpack()

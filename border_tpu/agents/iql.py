@@ -115,7 +115,7 @@ class IQL(Agent):
         return state.replace(n_samples=state.n_samples + n)
 
     def update(
-        self, state: IQLState, batch: TransitionBatch
+        self, state: IQLState, batch: TransitionBatch, key: jax.Array = None
     ) -> Tuple[IQLState, Dict[str, jax.Array], jax.Array]:
         c = self.config
         obs, act, next_obs, reward, terminated, _t, _i, weight = batch.unpack()

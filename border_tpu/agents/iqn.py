@@ -141,14 +141,13 @@ class IQN(Agent):
 
     # -- learning (≙ update_critic, iqn/base.rs:63-170) --------------------
     def update(
-        self, state: IQNState, batch: TransitionBatch
+        self, state: IQNState, batch: TransitionBatch, key: jax.Array = None
     ) -> Tuple[IQNState, Dict[str, jax.Array], jax.Array]:
         c = self.config
         obs, act, next_obs, reward, terminated, _trunc, _ix, weight = batch.unpack()
         act = act.astype(jnp.int32)
         reward = reward.astype(jnp.float32)
         B = reward.shape[0]
-        key = jax.random.fold_in(jax.random.PRNGKey(1), state.n_opts)
         k_pred, k_tgt, k_act = jax.random.split(key, 3)
 
         # next action: argmax of τ-averaged target Q

