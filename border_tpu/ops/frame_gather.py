@@ -34,18 +34,23 @@ def gather_frames_ref(frames: jax.Array, idx: jax.Array) -> jax.Array:
     return frames[idx]
 
 
-def _gather_kernel(idx_ref, frames_ref, out_ref, sems, *, stack: int):
-    b = pl.program_id(0)
+def _gather_kernel(idx_ref, frames_ref, out_ref, sems, *, stack: int, chunk: int):
+    c = pl.program_id(0)
 
-    def dma(k):
+    def dma(j, k):
+        b = c * chunk + j
         return pltpu.make_async_copy(
-            frames_ref.at[idx_ref[b, k]], out_ref.at[b, k], sems.at[k]
+            frames_ref.at[idx_ref[b, k]], out_ref.at[b, k], sems.at[j, k]
         )
 
-    for k in range(stack):
-        dma(k).start()
-    for k in range(stack):
-        dma(k).wait()
+    # issue chunk×stack frame DMAs back-to-back, then drain: many copies in
+    # flight at once hides the per-DMA latency (each frame is only ~7 KB)
+    for j in range(chunk):
+        for k in range(stack):
+            dma(j, k).start()
+    for j in range(chunk):
+        for k in range(stack):
+            dma(j, k).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -61,15 +66,20 @@ def gather_frames(
     """
     m, h, w = frames.shape
     b, s = idx.shape
+    chunk = 1
+    for cand in (64, 32, 16, 8, 4, 2):
+        if b % cand == 0:
+            chunk = cand
+            break
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b // chunk,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((s,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((chunk, s))],
     )
     return pl.pallas_call(
-        functools.partial(_gather_kernel, stack=s),
+        functools.partial(_gather_kernel, stack=s, chunk=chunk),
         out_shape=jax.ShapeDtypeStruct((b, s, h, w), frames.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -150,6 +150,15 @@ class MlflowRecorder(Recorder):
         for k, v in (params or {}).items():
             client.log_param(self.run_id, k, v)
 
+    def log_params(self, tree: Dict[str, Any]) -> None:
+        """Log a whole config tree as flattened MLflow params
+        (≙ examples/gym/dqn_cartpole/src/main.rs:122-125's config-tree
+        serialization into MLflow)."""
+        from border_tpu.utils.config import flatten_config
+
+        for k, v in flatten_config(tree).items():
+            self.client.log_param(self.run_id, k, v)
+
     def write(self, record: Record) -> None:
         self.write_at(record, 0)
 

@@ -88,14 +88,17 @@ class TensorboardRecorder(Recorder):
     """TFEvent writer (≙ TensorboardRecorder, border-tensorboard/src/lib.rs).
 
     Scalars become tb scalars; 2-D arrays become images (lib.rs:56-99's
-    Array2-as-image behavior); other arrays become histograms.
+    Array2-as-image behavior); other arrays become histograms.  Backed by
+    the stdlib-only :class:`border_tpu.record.tfevent.TFEventWriter` — no
+    torch/tensorflow dependency (the reference writes TFRecords directly
+    too, via the tensorboard-rs crate).
     """
 
     def __init__(self, log_dir: str, model_dir: Optional[str] = None):
         super().__init__(model_dir or os.path.join(log_dir, "model"))
-        from torch.utils.tensorboard import SummaryWriter
+        from border_tpu.record.tfevent import TFEventWriter
 
-        self._writer = SummaryWriter(log_dir=log_dir)
+        self._writer = TFEventWriter(log_dir)
         self._step = 0
 
     def write(self, record: Record) -> None:
@@ -110,7 +113,7 @@ class TensorboardRecorder(Recorder):
             if arr.ndim == 0:
                 self._writer.add_scalar(k, float(arr), step)
             elif arr.ndim == 2:
-                self._writer.add_image(k, arr[None].astype(np.float32), step)
+                self._writer.add_image(k, arr, step)
             else:
                 self._writer.add_histogram(k, arr, step)
 

@@ -41,7 +41,12 @@ from border_tpu.replay.buffer import TransitionBatch
 
 @struct.dataclass
 class FrameReplayState:
-    frames: jax.Array  # [N, cap, H, W] uint8 — frame observed BEFORE acting
+    # [N, cap, R, 128] uint8 — frame observed BEFORE acting, flattened and
+    # zero-padded to (R, 128) so each frame is a tile-aligned unit: the
+    # Pallas sample path (border_tpu.ops.gather_frames) DMAs whole frames
+    # HBM→HBM, and Mosaic requires (8·k, 128) slice shapes.  R·128 ≥ H·W,
+    # R ≡ 0 (mod 8); for 84×84 that is R=56 → 1.6 % padding overhead.
+    frames: jax.Array
     act: jax.Array  # [N, cap] int32
     reward: jax.Array  # [N, cap] f32
     terminated: jax.Array  # [N, cap] bool
@@ -85,12 +90,16 @@ class FrameReplayBuffer:
         self.n_step = n_step
         self.gamma = gamma
         self.use_pallas = use_pallas
+        # tile-aligned flat frame layout (see FrameReplayState.frames)
+        hw = frame_hw[0] * frame_hw[1]
+        rows = -(-hw // 128)  # ceil
+        self.frame_rows = -(-rows // 8) * 8  # round up to sublane multiple
+        self.frame_pad = self.frame_rows * 128 - hw
 
     def init(self, example=None) -> FrameReplayState:
         n, cap = self.num_envs, self.capacity
-        h, w = self.frame_hw
         return FrameReplayState(
-            frames=jnp.zeros((n, cap, h, w), jnp.uint8),
+            frames=jnp.zeros((n, cap, self.frame_rows, 128), jnp.uint8),
             act=jnp.zeros((n, cap), jnp.int32),
             reward=jnp.zeros((n, cap), jnp.float32),
             terminated=jnp.zeros((n, cap), bool),
@@ -111,8 +120,11 @@ class FrameReplayBuffer:
         episode (0 right after reset).
         """
         p = state.total % self.capacity
+        frame = prev_obs[..., -1].reshape(self.num_envs, -1)
+        frame = jnp.pad(frame, ((0, 0), (0, self.frame_pad)))
+        frame = frame.reshape(self.num_envs, self.frame_rows, 128)
         return state.replace(
-            frames=state.frames.at[:, p].set(prev_obs[..., -1]),
+            frames=state.frames.at[:, p].set(frame),
             act=state.act.at[:, p].set(action.astype(jnp.int32)),
             reward=state.reward.at[:, p].set(ts.reward.astype(jnp.float32)),
             terminated=state.terminated.at[:, p].set(ts.terminated),
@@ -154,9 +166,14 @@ class FrameReplayBuffer:
             flat_idx = e[:, None].astype(jnp.int32) * self.capacity + idx
             g = gather_frames(
                 flat, flat_idx, interpret=(use_pallas == "interpret")
-            )
+            )  # [B, stack, R, 128]
         else:
-            g = state.frames[e[:, None], idx]  # [B, stack, H, W]
+            g = state.frames[e[:, None], idx]  # [B, stack, R, 128]
+        b = g.shape[0]
+        h, w = self.frame_hw
+        g = g.reshape(b, self.stack, -1)[:, :, : h * w].reshape(
+            b, self.stack, h, w
+        )
         return jnp.moveaxis(g, 1, -1)  # [B, H, W, stack]
 
     def sample(

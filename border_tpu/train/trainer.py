@@ -204,7 +204,17 @@ class Trainer:
         key: Optional[jax.Array] = None,
         agent_state: Optional[Any] = None,
         buffer_state: Optional[Any] = None,
+        resume_from: Optional[Any] = None,
     ) -> TrainResult:
+        """Run the training loop.
+
+        ``resume_from``: a :class:`border_tpu.utils.CheckpointManager` whose
+        latest full-state checkpoint (agent + buffer + env states, RNG key,
+        loop counters) is restored before the loop starts — a resumed run
+        continues bit-exactly where the checkpointed run left off (the
+        reference loses everything but model params, SURVEY.md §5.4).
+        ``eval_history`` in the result covers only post-resume evaluations.
+        """
         c = self.config
         key = key if key is not None else jax.random.PRNGKey(c.seed)
         k_agent, k_env, k_loop = jax.random.split(key, 3)
@@ -222,8 +232,40 @@ class Trainer:
         next_eval = c.eval_interval
         next_save = c.save_interval if c.save_interval else None
         next_flush = c.flush_record_interval
+
+        if resume_from is not None:
+            tmpl_extra = {
+                "env_steps": 0, "opt_steps": 0, "best_score": 0.0,
+                "next_eval": 0, "next_save": 0, "next_flush": 0,
+                "next_ckpt": 0, "next_agent_info": 0,
+            }
+            restored = resume_from.restore(
+                agent_state, buffer_state, vec_state, key=k_loop,
+                extra=tmpl_extra,
+            )
+            agent_state = restored["agent_state"]
+            buffer_state = restored["buffer_state"]
+            vec_state = restored["vec_state"]
+            k_loop = restored["key"]
+            ex = restored["extra"]
+            env_steps = int(ex["env_steps"])
+            opt_steps = int(ex["opt_steps"])
+            best_score = float(ex["best_score"])
+            next_eval = int(ex["next_eval"])
+            next_save = int(ex["next_save"]) if int(ex["next_save"]) >= 0 else None
+            next_flush = int(ex["next_flush"])
+            self._next_ckpt = int(ex["next_ckpt"])
+            self._next_agent_info = int(ex["next_agent_info"])
+
         t0 = time.perf_counter()
         chunk_i = 0
+        # compute-cost accumulators (≙ timer_for_opt_steps/timer_for_samples,
+        # border-core/src/trainer.rs:163-174, reported every
+        # record_compute_cost_interval opt steps at trainer.rs:304-310)
+        cost_time = 0.0
+        cost_updates = 0
+        cost_transitions = 0
+        next_cost = c.record_compute_cost_interval
 
         while opt_steps < c.max_opts:
             chunk_i += 1
@@ -251,8 +293,24 @@ class Trainer:
             rec["samples_per_sec"] = c.steps_per_chunk * c.num_envs / dt
             if warmed:
                 rec["opt_steps_per_sec"] = self.updates_per_chunk / dt
-                rec["average_opt_time_ms"] = 1e3 * dt / self.updates_per_chunk
             self.recorder.store(rec)
+
+            # -- compute-cost records every record_compute_cost_interval ---
+            cost_time += dt
+            cost_transitions += c.steps_per_chunk * c.num_envs
+            if warmed:
+                cost_updates += self.updates_per_chunk
+            if c.record_compute_cost_interval and opt_steps >= next_cost:
+                cost = Record(
+                    {
+                        "average_sample_time": 1e3 * cost_time / max(cost_transitions, 1)
+                    }
+                )
+                if cost_updates:
+                    cost["average_opt_time"] = 1e3 * cost_time / cost_updates
+                self.recorder.write_at(cost, opt_steps)
+                cost_time, cost_updates, cost_transitions = 0.0, 0, 0
+                next_cost += c.record_compute_cost_interval
 
             if opt_steps >= next_flush:
                 self.recorder.flush(opt_steps)
@@ -301,15 +359,24 @@ class Trainer:
                 and self.checkpoint_interval
                 and opt_steps >= getattr(self, "_next_ckpt", self.checkpoint_interval)
             ):
+                self._next_ckpt = opt_steps + self.checkpoint_interval
                 self.checkpoint_manager.save(
                     opt_steps,
                     agent_state,
                     buffer_state,
                     vec_state,
                     key=k_loop,
-                    extra={"env_steps": env_steps, "best_score": best_score},
+                    extra={
+                        "env_steps": env_steps,
+                        "opt_steps": opt_steps,
+                        "best_score": best_score,
+                        "next_eval": next_eval,
+                        "next_save": -1 if next_save is None else next_save,
+                        "next_flush": next_flush,
+                        "next_ckpt": self._next_ckpt,
+                        "next_agent_info": getattr(self, "_next_agent_info", 0),
+                    },
                 )
-                self._next_ckpt = opt_steps + self.checkpoint_interval
 
         duration = time.perf_counter() - t0
         self.recorder.flush(opt_steps)

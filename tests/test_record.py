@@ -78,3 +78,39 @@ def test_tensorboard_recorder(tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "tb" / "events.*"))
+
+
+def test_tfevent_writer_readable_by_tensorboard(tmp_path):
+    """The stdlib TFRecord/proto writer must produce files the official
+    tensorboard reader parses (crc32c masking, varint framing, Summary
+    protos) — format-level round-trip."""
+    import numpy as np
+
+    from border_tpu.record.tfevent import TFEventWriter
+
+    w = TFEventWriter(str(tmp_path))
+    w.add_scalar("loss", 0.5, step=3)
+    w.add_scalar("loss", 0.25, step=4)
+    w.add_image("frame", np.arange(12.0).reshape(3, 4), step=4)
+    w.add_histogram("weights", np.random.RandomState(0).randn(100), step=4)
+    w.close()
+
+    import glob
+
+    from tensorboard.backend.event_processing import event_file_loader
+
+    path = glob.glob(str(tmp_path / "events.*"))[0]
+    events = list(event_file_loader.LegacyEventFileLoader(path).Load())
+    assert events[0].file_version == "brain.Event:2"
+    scalars = [
+        (e.step, v.tag, v.simple_value)
+        for e in events
+        for v in e.summary.value
+        if v.HasField("simple_value")
+    ]
+    assert (3, "loss", 0.5) in scalars and (4, "loss", 0.25) in scalars
+    images = [v for e in events for v in e.summary.value if v.HasField("image")]
+    assert images and images[0].image.height == 3 and images[0].image.width == 4
+    assert images[0].image.encoded_image_string.startswith(b"\x89PNG")
+    histos = [v for e in events for v in e.summary.value if v.HasField("histo")]
+    assert histos and histos[0].histo.num == 100.0

@@ -128,3 +128,50 @@ def test_evaluator_deterministic():
     s3, _ = ev.evaluate(agent, state, eval_index=1)
     assert s1 == s2  # seeded resets (≙ reset_with_index determinism)
     assert "Episode return" in r1
+
+
+def test_full_state_resume_bit_exact(tmp_path):
+    """Kill-and-resume equals an uninterrupted run, bit for bit (the
+    checkpoint superset the reference lacks — SURVEY.md §5.4)."""
+    from border_tpu.utils import CheckpointManager
+
+    cfg = TrainerConfig(
+        max_opts=20,
+        warmup_period=0,
+        opt_interval=16,
+        batch_size=16,
+        num_envs=8,
+        steps_per_chunk=8,
+        seed=5,
+    )
+
+    def build(mgr, interval):
+        env = make("CartPole-v1")
+        agent = DQN(DQNConfig(hidden=(16,)))
+        return Trainer(
+            env, agent, ReplayBuffer(512), cfg,
+            checkpoint_manager=mgr, checkpoint_interval=interval,
+        )
+
+    # uninterrupted run, checkpointing mid-flight (at opt 8 and 16; run
+    # ends at 20, strictly past the last checkpoint)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=5)
+    res_full = build(mgr, 8).train()
+    assert mgr.latest_step() == 16 < res_full.opt_steps
+
+    # "killed" process: a fresh trainer resumes from the latest checkpoint
+    res_resumed = build(None, 0).train(resume_from=mgr)
+    mgr.close()
+
+    assert res_resumed.opt_steps == res_full.opt_steps
+    assert res_resumed.env_steps == res_full.env_steps
+    for a, b in zip(
+        jax.tree.leaves(res_full.agent_state),
+        jax.tree.leaves(res_resumed.agent_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(res_full.buffer_state),
+        jax.tree.leaves(res_resumed.buffer_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
