@@ -1,0 +1,170 @@
+"""Learning-curve harness for the parity configs (BASELINE.md targets).
+
+Runs one of the four north-star configs on the available chip and streams a
+JSON learning-curve artifact (rewritten after every evaluation) so learning
+evidence is committable and machine-checkable (`bench.py --gate`).
+
+Configs mirror the reference's run configurations (BASELINE.md §"Reference
+run configurations"):
+
+- ``cartpole``  — DQN + MLP      (examples/gym/dqn_cartpole/src/main.rs:38-53)
+- ``pendulum``  — SAC + Gaussian (examples/gym/sac_pendulum/src/main.rs)
+- ``pong``      — DQN + CNN      (examples/atari/dqn_atari_async_tch/src/config.rs:59-119)
+- ``seaquest``  — IQN + CNN      (border-tch-agent/src/iqn/config.rs:56-60)
+
+``--assemble`` merges the per-config artifacts into LEARNING_r2.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+# gate targets: CartPole-v1 near-max return, Pendulum-v1 solved band,
+# Pong ≥18 (BASELINE.md north star), Seaquest re-implemented game band
+# (set from the measured curve; asserts the agent genuinely learns).
+TARGETS = {"cartpole": 450.0, "pendulum": -200.0, "pong": 18.0, "seaquest": 200.0}
+
+
+def _build(config: str, seed: int):
+    from border_tpu.agents import DQN, DQNConfig, IQN, IQNConfig, SAC, SACConfig
+    from border_tpu.envs import make
+    from border_tpu.models import AtariCNN
+    from border_tpu.replay import FrameReplayBuffer, ReplayBuffer
+    from border_tpu.train import Evaluator, Trainer, TrainerConfig
+
+    if config == "cartpole":
+        env = make("CartPole-v1")
+        agent = DQN(DQNConfig(hidden=(64, 64), lr=1e-3, gamma=0.99, tau=0.01,
+                              soft_update_interval=1, double_dqn=True,
+                              eps_final_step=50_000))
+        cfg = TrainerConfig(max_opts=15_000, warmup_period=1_000,
+                            opt_interval=16, batch_size=64, num_envs=128,
+                            steps_per_chunk=32, eval_interval=1_000, seed=seed)
+        buffer = ReplayBuffer(capacity=16_384)
+        evaluator = Evaluator(env, n_episodes=10, max_steps=500)
+        meta = {"env": "CartPole-v1", "agent": "DQN+MLP"}
+    elif config == "pendulum":
+        env = make("Pendulum-v1")
+        agent = SAC(SACConfig(actor_hidden=(128, 128), critic_hidden=(128, 128),
+                              n_critics=2, actor_lr=3e-4, critic_lr=3e-4,
+                              ent_coef_mode="auto"))
+        cfg = TrainerConfig(max_opts=20_000, warmup_period=1_000,
+                            opt_interval=16, batch_size=128, num_envs=128,
+                            steps_per_chunk=32, eval_interval=2_000, seed=seed)
+        buffer = ReplayBuffer(capacity=65_536)
+        evaluator = Evaluator(env, n_episodes=10, max_steps=200)
+        meta = {"env": "Pendulum-v1", "agent": "SAC+Gaussian"}
+    elif config == "pong":
+        env = make("Pong-v0")
+        agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                              double_dqn=True, soft_update_interval=2_000,
+                              tau=1.0, eps_final_step=2_000_000))
+        cfg = TrainerConfig(max_opts=120_000, warmup_period=50_000,
+                            opt_interval=64, batch_size=512, num_envs=1024,
+                            steps_per_chunk=32, eval_interval=2_000, seed=seed)
+        buffer = FrameReplayBuffer(capacity=512, num_envs=1024)
+        evaluator = Evaluator(make("Pong-v0", train=False), n_episodes=10,
+                              max_steps=3_000)
+        meta = {"env": "Pong-v0", "agent": "DQN+AtariCNN"}
+    elif config == "seaquest":
+        env = make("Seaquest-v0")
+        agent = IQN(IQNConfig(
+            psi_fn=functools.partial(AtariCNN, out_dim=0, skip_linear=True),
+            feature_dim=512, n_cos=64, hidden=(512,),
+            sample_percents_pred="uniform8", sample_percents_tgt="uniform8",
+            sample_percents_act="const32", lr=1e-4,
+            soft_update_interval=2_000, tau=1.0, eps_final_step=2_000_000))
+        cfg = TrainerConfig(max_opts=100_000, warmup_period=50_000,
+                            opt_interval=64, batch_size=256, num_envs=512,
+                            steps_per_chunk=32, eval_interval=2_500, seed=seed)
+        buffer = FrameReplayBuffer(capacity=512, num_envs=512)
+        evaluator = Evaluator(make("Seaquest-v0", train=False), n_episodes=10,
+                              max_steps=3_000)
+        meta = {"env": "Seaquest-v0", "agent": "IQN+AtariCNN"}
+    else:
+        raise KeyError(config)
+    return env, agent, buffer, cfg, evaluator, meta
+
+
+def run(config: str, seed: int, out: str) -> float:
+    from border_tpu.train import Trainer
+
+    env, agent, buffer, cfg, evaluator, meta = _build(config, seed)
+    import dataclasses
+
+    curve = []
+    t0 = time.perf_counter()
+
+    def on_eval(opt_steps, env_steps, score, best):
+        curve.append({
+            "opt_steps": int(opt_steps), "env_steps": int(env_steps),
+            "eval_return": float(score), "best": float(best),
+            "wall_sec": round(time.perf_counter() - t0, 1),
+        })
+        print(f"  opt {opt_steps:>8d}: eval return {score:+.1f} (best {best:+.1f})",
+              flush=True)
+        with open(out, "w") as f:
+            json.dump({
+                **meta, "target": TARGETS[config], "seed": seed,
+                "config": {"max_opts": cfg.max_opts, "num_envs": cfg.num_envs,
+                           "batch_size": cfg.batch_size,
+                           "opt_interval": cfg.opt_interval},
+                "curve": curve,
+            }, f, indent=1)
+
+    result = Trainer(env, agent, buffer, cfg, evaluator=evaluator,
+                     eval_callback=on_eval).train()
+    print(f"{config}: best={result.best_score:.1f} "
+          f"samples/s={result.samples_per_sec:,.0f} "
+          f"duration={result.duration_sec:.0f}s")
+    return result.best_score
+
+
+def assemble(out: str) -> None:
+    """Merge per-config curve artifacts into one learning-evidence file."""
+    merged = {}
+    for name in ("cartpole", "pendulum", "pong", "seaquest"):
+        path = os.path.join(ARTIFACTS, f"{name}_curve.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                merged[name] = json.load(f)
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=1)
+    for name, d in merged.items():
+        best = max((p["best"] for p in d["curve"]), default=None)
+        print(f"{name}: best={best} target={d.get('target')}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config", choices=["cartpole", "pendulum", "pong",
+                                      "seaquest", "assemble"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="")
+    args = p.parse_args()
+    if args.config == "assemble":
+        assemble(args.out or os.path.join(ARTIFACTS, "..", "LEARNING_r2.json"))
+        return
+    out = args.out or os.path.join(ARTIFACTS, f"{args.config}_curve.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    run(args.config, args.seed, out)
+
+
+if __name__ == "__main__":
+    main()

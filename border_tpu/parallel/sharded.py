@@ -80,6 +80,15 @@ class ShardedTrainer(Trainer):
         self.local_envs = config.num_envs // self.n_dev
         self.local_batch = config.batch_size // self.n_dev
         self.vec_local = VecEnv(env, self.local_envs)
+        # env-column-shaped buffers (FrameReplayBuffer) shard their env
+        # axis: each device owns a num_envs/n-column replay shard
+        if hasattr(buffer, "with_num_envs"):
+            if buffer.num_envs != config.num_envs:
+                raise ValueError(
+                    f"buffer.num_envs ({buffer.num_envs}) must equal the "
+                    f"global config.num_envs ({config.num_envs})"
+                )
+            self.buffer = buffer.with_num_envs(self.local_envs)
         # the learner's gradients ride a psum over the actors axis
         agent.axis_name = axis
 

@@ -96,6 +96,21 @@ class FrameReplayBuffer:
         self.frame_rows = -(-rows // 8) * 8  # round up to sublane multiple
         self.frame_pad = self.frame_rows * 128 - hw
 
+    def with_num_envs(self, num_envs: int) -> "FrameReplayBuffer":
+        """A copy configured for ``num_envs`` env columns — used by
+        :class:`border_tpu.parallel.ShardedTrainer` to build per-device
+        replay shards of ``num_envs / n_devices`` columns each (global
+        capacity is unchanged: shards partition the env axis)."""
+        return FrameReplayBuffer(
+            capacity=self.capacity,
+            num_envs=num_envs,
+            frame_hw=self.frame_hw,
+            stack=self.stack,
+            n_step=self.n_step,
+            gamma=self.gamma,
+            use_pallas=self.use_pallas,
+        )
+
     def init(self, example=None) -> FrameReplayState:
         n, cap = self.num_envs, self.capacity
         return FrameReplayState(
