@@ -47,6 +47,7 @@ def _load_lib() -> ctypes.CDLL:
     lib.envpool_num_actions.argtypes = [ctypes.c_void_p]
     lib.envpool_reset.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.envpool_step.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.envpool_step2.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
     lib.envpool_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -85,6 +86,7 @@ class NativeVecEnv:
         self.obs_dim = _lib.envpool_obs_dim(self._h)
         self.num_actions = _lib.envpool_num_actions(self._h)
         self._obs = np.zeros((num_envs, self.obs_dim), np.float32)
+        self._final_obs = np.zeros((num_envs, self.obs_dim), np.float32)
         self._rew = np.zeros((num_envs,), np.float32)
         self._term = np.zeros((num_envs,), np.uint8)
         self._trunc = np.zeros((num_envs,), np.uint8)
@@ -111,6 +113,29 @@ class NativeVecEnv:
             self._trunc.astype(bool),
         )
 
+    def step_final(self, actions: np.ndarray):
+        """Step returning (obs, final_obs, reward, terminated, truncated):
+        ``final_obs`` is the pre-auto-reset observation — the correct
+        ``next_obs`` for replay transitions at episode boundaries
+        (≙ Step.init_obs handling, border-core/src/base/env.rs:138-160)."""
+        actions = np.ascontiguousarray(actions, np.int32)
+        _lib.envpool_step2(
+            self._h,
+            actions.ctypes.data,
+            self._obs.ctypes.data,
+            self._final_obs.ctypes.data,
+            self._rew.ctypes.data,
+            self._term.ctypes.data,
+            self._trunc.ctypes.data,
+        )
+        return (
+            self._obs.copy(),
+            self._final_obs.copy(),
+            self._rew.copy(),
+            self._term.astype(bool),
+            self._trunc.astype(bool),
+        )
+
     def close(self):
         if self._h:
             _lib.envpool_destroy(self._h)
@@ -132,8 +157,9 @@ class AsyncEnvFeeder:
     device's forward/update time.
     """
 
-    def __init__(self, env: NativeVecEnv):
+    def __init__(self, env: NativeVecEnv, step_fn=None):
         self.env = env
+        self._step = step_fn if step_fn is not None else env.step
         self._in: "queue.Queue" = queue.Queue(maxsize=2)
         self._out: "queue.Queue" = queue.Queue(maxsize=2)
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -144,7 +170,7 @@ class AsyncEnvFeeder:
             actions = self._in.get()
             if actions is None:
                 return
-            self._out.put(self.env.step(actions))
+            self._out.put(self._step(actions))
 
     def submit(self, actions: np.ndarray) -> None:
         self._in.put(np.asarray(actions))

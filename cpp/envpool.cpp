@@ -34,9 +34,15 @@ struct EnvBase {
   virtual int obs_dim() const = 0;
   virtual int num_actions() const = 0;
   virtual void reset(std::mt19937 &rng, float *obs) = 0;
-  // returns (reward, terminated, truncated); writes post-step obs
-  virtual void step(std::mt19937 &rng, int action, float *obs, float *reward,
-                    uint8_t *terminated, uint8_t *truncated) = 0;
+  // Writes the pre-reset (final) obs to final_obs, then the post-step obs
+  // to obs (the new episode's first obs after auto-reset).  final_obs may
+  // alias obs — the final write happens first, so aliasing reproduces the
+  // plain auto-reset semantics.  The separate final obs is what replay
+  // transitions need as next_obs (≙ Step.init_obs bookkeeping of
+  // border-core/src/base/env.rs:138-160).
+  virtual void step(std::mt19937 &rng, int action, float *obs,
+                    float *final_obs, float *reward, uint8_t *terminated,
+                    uint8_t *truncated) = 0;
 };
 
 // Gymnasium-faithful CartPole-v1 (same constants as the JAX twin in
@@ -64,8 +70,8 @@ struct CartPole final : EnvBase {
     write_obs(obs);
   }
 
-  void step(std::mt19937 &rng, int action, float *obs, float *reward,
-            uint8_t *terminated, uint8_t *truncated) override {
+  void step(std::mt19937 &rng, int action, float *obs, float *final_obs,
+            float *reward, uint8_t *terminated, uint8_t *truncated) override {
     const float force = action == 1 ? kForceMag : -kForceMag;
     const float costh = std::cos(theta), sinth = std::sin(theta);
     const float total_mass = kMassCart + kMassPole;
@@ -86,6 +92,7 @@ struct CartPole final : EnvBase {
     *reward = 1.0f;
     *terminated = term;
     *truncated = trunc;
+    write_obs(final_obs);
     if (term || trunc) {
       reset(rng, obs);  // auto-reset: obs is the new episode's first obs
     } else {
@@ -119,8 +126,8 @@ struct Pendulum final : EnvBase {
     write_obs(obs);
   }
 
-  void step(std::mt19937 &rng, int action, float *obs, float *reward,
-            uint8_t *terminated, uint8_t *truncated) override {
+  void step(std::mt19937 &rng, int action, float *obs, float *final_obs,
+            float *reward, uint8_t *terminated, uint8_t *truncated) override {
     const float u = -kMaxTorque + 2.0f * kMaxTorque * action / (kBins - 1);
     float th_norm = std::fmod(theta + M_PI, 2.0f * M_PI);
     if (th_norm < 0) th_norm += 2.0f * M_PI;
@@ -136,6 +143,7 @@ struct Pendulum final : EnvBase {
     *reward = -cost;
     *terminated = 0;
     *truncated = trunc;
+    write_obs(final_obs);
     if (trunc) reset(rng, obs); else write_obs(obs);
   }
 };
@@ -254,8 +262,23 @@ void envpool_step(void *h, const int32_t *actions, float *obs_out,
   Pool *p = static_cast<Pool *>(h);
   const int d = p->obs_dim;
   p->run([=](int i) {
-    p->envs[i]->step(p->rngs[i], actions[i], obs_out + i * d, reward_out + i,
-                     term_out + i, trunc_out + i);
+    // final_obs aliases obs: plain auto-reset semantics (back-compat ABI)
+    p->envs[i]->step(p->rngs[i], actions[i], obs_out + i * d, obs_out + i * d,
+                     reward_out + i, term_out + i, trunc_out + i);
+  });
+}
+
+// step + separate pre-reset (final) obs — what replay transitions need as
+// next_obs at episode boundaries.
+void envpool_step2(void *h, const int32_t *actions, float *obs_out,
+                   float *final_obs_out, float *reward_out, uint8_t *term_out,
+                   uint8_t *trunc_out) {
+  Pool *p = static_cast<Pool *>(h);
+  const int d = p->obs_dim;
+  p->run([=](int i) {
+    p->envs[i]->step(p->rngs[i], actions[i], obs_out + i * d,
+                     final_obs_out + i * d, reward_out + i, term_out + i,
+                     trunc_out + i);
   });
 }
 
