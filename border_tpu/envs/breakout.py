@@ -20,7 +20,10 @@ ROWS, COLS = 6, 18
 BAND_TOP = 0.20
 BRICK_H = 0.03
 BAND_BOT = BAND_TOP + ROWS * BRICK_H
-ROW_SCORE = jnp.array([7.0, 7.0, 4.0, 4.0, 1.0, 1.0])  # top→bottom
+# top→bottom row scores; tuple (not a jnp array) so importing this
+# module never initializes an XLA backend — jax.distributed.initialize
+# must run first in multi-process programs (parallel/distributed.py)
+ROW_SCORE = (7.0, 7.0, 4.0, 4.0, 1.0, 1.0)
 
 PADDLE_Y = 0.93
 PADDLE_HALF = 0.055
@@ -113,7 +116,7 @@ class Breakout(PixelGame):
         bricks = state.bricks.at[row, col].set(
             jnp.where(brick_alive, False, state.bricks[row, col])
         )
-        reward = jnp.where(brick_alive, ROW_SCORE[row], 0.0)
+        reward = jnp.where(brick_alive, jnp.asarray(ROW_SCORE)[row], 0.0)
         vy = jnp.where(brick_alive, -vy, vy)
 
         # life loss

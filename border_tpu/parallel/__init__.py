@@ -9,6 +9,10 @@ nothing (synchronous single program) or a periodic replicated-param refresh
 (decoupled mode, ≙ sync_interval semantics).
 """
 
+from border_tpu.parallel.distributed import (  # noqa: F401
+    init_distributed,
+    process_info,
+)
 from border_tpu.parallel.mesh import make_mesh  # noqa: F401
 from border_tpu.parallel.sharded import ShardedTrainer  # noqa: F401
 from border_tpu.parallel.async_sharded import ShardedAsyncTrainer  # noqa: F401
