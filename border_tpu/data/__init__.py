@@ -11,3 +11,10 @@ from border_tpu.data.datasets import (  # noqa: F401
     normalized_score,
     NormalizedEvaluator,
 )
+from border_tpu.data.minari import (  # noqa: F401
+    GoalDictConverter,
+    MinariConverter,
+    MinariDataset,
+    converter_for,
+    list_local_datasets,
+)

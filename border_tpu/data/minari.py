@@ -1,0 +1,218 @@
+"""Minari/D4RL-compatible dataset layer.
+
+≙ border-minari's dataset handling end to end:
+
+- :class:`MinariDataset` — load + introspect + create replay buffer +
+  **recover_environment** (border-minari/src/dataset.rs:13-217: load_dataset
+  :18-31, get_num_transitions :40-55, create_replay_buffer :64-100,
+  recover_environment :101-217).  Loads from the Minari python package when
+  installed, else from the local committed-corpus registry
+  (``artifacts/datasets/<id>.npz`` + ``.json`` metadata) — the network-free
+  replacement for Minari's hosted downloads.
+- per-domain **converters** for dict observations — the counterpart of the
+  reference's ~1,600-LoC d4rl converter tree
+  (border-minari/src/d4rl/{antmaze,kitchen,pointmaze,pen}/**): goal-reaching
+  domains expose ``{observation, desired_goal, achieved_goal}`` dicts that
+  must be flattened consistently for both dataset ingestion and the
+  recovered env (MinariConverter trait, border-minari/src/converter.rs:6-46).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from border_tpu.data.datasets import NormalizedEvaluator, OfflineDataset
+from border_tpu.replay.buffer import ReplayBuffer, ReplayBufferState
+
+LOCAL_DATASET_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "..", "artifacts", "datasets"
+)
+
+
+# ---------------------------------------------------------------------------
+# converters (≙ MinariConverter, border-minari/src/converter.rs:6-46;
+# d4rl per-domain impls border-minari/src/d4rl/**)
+# ---------------------------------------------------------------------------
+class MinariConverter:
+    """obs/act conversion between raw episode arrays and framework arrays."""
+
+    def convert_observation(self, obs: Any) -> np.ndarray:
+        return np.asarray(obs)
+
+    def convert_action(self, act: Any) -> np.ndarray:
+        return np.asarray(act)
+
+
+class GoalDictConverter(MinariConverter):
+    """Goal-reaching dict obs → flat vector, in a fixed key order
+    (≙ pointmaze/antmaze converters, border-minari/src/d4rl/pointmaze/**).
+
+    Dict episodes arrive as {key: [T+1, ...]} arrays; flattening
+    concatenates the configured keys along the feature axis.
+    """
+
+    def __init__(self, keys=("observation", "desired_goal")):
+        self.keys = tuple(keys)
+
+    def convert_observation(self, obs: Any) -> np.ndarray:
+        if isinstance(obs, dict):
+            parts = [np.asarray(obs[k], np.float32) for k in self.keys]
+            parts = [p[..., None] if p.ndim == 1 else p for p in parts]
+            return np.concatenate(parts, axis=-1)
+        return np.asarray(obs)
+
+
+CONVERTERS: Dict[str, Callable[[], MinariConverter]] = {
+    # domain prefix → converter (≙ the d4rl converter registry)
+    "pointmaze": lambda: GoalDictConverter(),
+    "antmaze": lambda: GoalDictConverter(),
+    "fetch": lambda: GoalDictConverter(),
+    "kitchen": lambda: GoalDictConverter(keys=("observation",)),
+}
+
+
+def converter_for(dataset_id: str) -> MinariConverter:
+    for prefix, factory in CONVERTERS.items():
+        if dataset_id.lower().startswith(prefix):
+            return factory()
+    return MinariConverter()
+
+
+# ---------------------------------------------------------------------------
+# dataset
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class MinariDataset:
+    """A loaded offline dataset + its environment metadata."""
+
+    dataset_id: str
+    data: OfflineDataset
+    env_name: Optional[str] = None
+    ref_min: Optional[float] = None
+    ref_max: Optional[float] = None
+    behavior_return: Optional[float] = None
+
+    # -- loading (≙ MinariDataset::load_dataset, dataset.rs:18-31) ---------
+    @classmethod
+    def load(cls, dataset_id: str,
+             converter: Optional[MinariConverter] = None) -> "MinariDataset":
+        """Resolve ``dataset_id`` against the Minari package if importable,
+        else the local committed-corpus registry."""
+        try:
+            import minari  # type: ignore
+
+            return cls._from_minari_pkg(dataset_id, minari, converter)
+        except ImportError:
+            return cls._from_local(dataset_id)
+
+    @classmethod
+    def _from_minari_pkg(cls, dataset_id: str, minari,
+                         converter: Optional[MinariConverter]) -> "MinariDataset":
+        conv = converter or converter_for(dataset_id)
+        ds = minari.load_dataset(dataset_id)
+        episodes = []
+        for ep in ds.iterate_episodes():
+            episodes.append({
+                "obs": conv.convert_observation(ep.observations),
+                "act": conv.convert_action(np.asarray(ep.actions)),
+                "reward": np.asarray(ep.rewards),
+                "terminated": bool(np.asarray(ep.terminations)[-1]),
+            })
+        env_name = None
+        spec = getattr(ds, "spec", None)
+        if spec is not None:
+            env_spec = getattr(spec, "env_spec", None)
+            env_name = getattr(env_spec, "id", None)
+        ref_min = getattr(ds, "ref_min_score", None)
+        ref_max = getattr(ds, "ref_max_score", None)
+        return cls(
+            dataset_id=dataset_id,
+            data=OfflineDataset.from_episodes(episodes),
+            env_name=env_name,
+            ref_min=ref_min,
+            ref_max=ref_max,
+        )
+
+    @classmethod
+    def _from_local(cls, dataset_id: str) -> "MinariDataset":
+        npz = os.path.join(LOCAL_DATASET_DIR, f"{dataset_id}.npz")
+        meta_path = os.path.join(LOCAL_DATASET_DIR, f"{dataset_id}.json")
+        if not os.path.exists(npz):
+            available = sorted(
+                f[:-4] for f in os.listdir(LOCAL_DATASET_DIR)
+                if f.endswith(".npz")
+            ) if os.path.isdir(LOCAL_DATASET_DIR) else []
+            raise KeyError(
+                f"dataset {dataset_id!r} not found locally and the minari "
+                f"package is unavailable; local corpora: {available}"
+            )
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return cls(
+            dataset_id=dataset_id,
+            data=OfflineDataset.from_npz(npz),
+            env_name=meta.get("env"),
+            ref_min=meta.get("ref_min"),
+            ref_max=meta.get("ref_max"),
+            behavior_return=meta.get("behavior_return"),
+        )
+
+    # -- introspection (≙ get_num_transitions, dataset.rs:40-55) -----------
+    def get_num_transitions(self) -> int:
+        return len(self.data)
+
+    # -- buffer creation (≙ create_replay_buffer, dataset.rs:64-100) -------
+    def create_replay_buffer(
+        self, buffer: Optional[ReplayBuffer] = None,
+        limit: Optional[int] = None,
+    ) -> ReplayBufferState:
+        if buffer is None:
+            buffer = ReplayBuffer(capacity=len(self.data))
+        return self.data.to_replay_buffer(buffer, limit=limit)
+
+    # -- env recovery (≙ recover_environment, dataset.rs:101-217) ----------
+    def recover_environment(self, **kwargs):
+        """Build the environment this dataset was collected on, via the
+        framework env registry."""
+        if self.env_name is None:
+            raise ValueError(
+                f"dataset {self.dataset_id!r} records no environment id"
+            )
+        from border_tpu.envs import make
+
+        return make(self.env_name, **kwargs)
+
+    # -- evaluation (≙ MinariEvaluator, border-minari/src/evaluator.rs) ----
+    def make_evaluator(self, n_episodes: int = 10, max_steps: int = 1_000,
+                       **kwargs) -> NormalizedEvaluator:
+        if self.ref_min is None or self.ref_max is None:
+            raise ValueError(
+                f"dataset {self.dataset_id!r} has no ref_min/ref_max scores"
+            )
+        return NormalizedEvaluator(
+            self.recover_environment(), n_episodes=n_episodes,
+            max_steps=max_steps, ref_min=self.ref_min, ref_max=self.ref_max,
+            **kwargs,
+        )
+
+    def behavior_normalized_score(self) -> float:
+        from border_tpu.data.datasets import normalized_score
+
+        if self.behavior_return is None:
+            raise ValueError("no behavior_return recorded for this dataset")
+        return normalized_score(self.behavior_return, self.ref_min, self.ref_max)
+
+
+def list_local_datasets() -> List[str]:
+    if not os.path.isdir(LOCAL_DATASET_DIR):
+        return []
+    return sorted(
+        f[:-4] for f in os.listdir(LOCAL_DATASET_DIR) if f.endswith(".npz")
+    )
