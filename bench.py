@@ -13,10 +13,16 @@ multiply by 4 for ALE-frame-equivalents (frame-skip 4, env.rs:126-152).
 Baseline: the reference publishes no numbers (BASELINE.md), so the baseline
 is *self-measured on the same machine*: a faithful re-creation of Border's
 per-step actor architecture for Pong (one env instance, batch-1 eager CNN
-forward per step, one batch-32 update per step — the sync
-trainer.rs:267-327 shape with the dqn_atari config scale) driven from the
-host.  ``vs_baseline`` = fused/per-step env-steps/s.  CartPole numbers are
-included as secondary fields.
+forward per step, one batch-32 update per step with a host readback per
+step — the sync trainer.rs:267-327 shape with the dqn_atari config scale).
+``vs_baseline`` = fused/per-step env-steps/s.
+
+Timing methodology: every timed window ends with a device_get of a leaf of
+every output PLUS block_until_ready, because on the tunneled `axon`
+platform dispatch is deeply asynchronous and block_until_ready alone was
+measured returning before compute finished (apparent 47M env-steps/s ≈ 3.8
+PFLOP/s — physically impossible on one v5e).  With honest syncs the fused
+Pong config runs ~850 batch-512 CNN updates/s ≈ 65 % MXU utilization.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ import json
 import os
 import sys
 import time
+
 
 def gate() -> int:
     """Learning gate: assert the committed learning-curve artifacts meet
@@ -81,8 +88,38 @@ from border_tpu.replay import FrameReplayBuffer, ReplayBuffer, Transition
 from border_tpu.train import Trainer, TrainerConfig
 
 
-def bench_pong_fused(n_chunks: int = 5):
-    """Fused DQN-Pong: env-steps/s and updates/s on one chip."""
+def _sync(*trees) -> None:
+    """Honest end-of-window sync: fetch one leaf of every tree to host and
+    block on the rest (see module docstring)."""
+    for t in trees:
+        leaves = jax.tree.leaves(t)
+        if leaves:
+            jax.device_get(leaves[0].ravel()[0] if hasattr(leaves[0], "ravel")
+                           else leaves[0])
+    jax.block_until_ready(trees)
+
+
+def _time_chunks(tr, cfg, n_chunks: int, do_update: bool = True):
+    key = jax.random.PRNGKey(0)
+    agent_state, vec_state, buf_state = tr.init_states(key, key)
+    out = tr._chunk(agent_state, vec_state, buf_state, key, do_update)
+    _sync(out)
+    agent_state, vec_state, buf_state = out[0], out[1], out[2]
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        key, k = jax.random.split(key)
+        out = tr._chunk(agent_state, vec_state, buf_state, k, do_update)
+        agent_state, vec_state, buf_state = out[0], out[1], out[2]
+    _sync(agent_state, vec_state, buf_state)
+    dt = time.perf_counter() - t0
+    env_steps_s = n_chunks * cfg.steps_per_chunk * cfg.num_envs / dt
+    updates_s = n_chunks * tr.updates_per_chunk / dt if do_update else 0.0
+    return env_steps_s, updates_s
+
+
+def bench_pong_fused(n_chunks: int = 20):
+    """Fused DQN-Pong: env-steps/s and updates/s on one chip, plus the
+    env-engine-only rate (updates disabled)."""
     env = make("Pong-v0")
     agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
                           double_dqn=True, soft_update_interval=2_000, tau=1.0))
@@ -93,26 +130,15 @@ def bench_pong_fused(n_chunks: int = 5):
     )
     buf = FrameReplayBuffer(capacity=256, num_envs=1024)
     tr = Trainer(env, agent, buf, cfg)
-    key = jax.random.PRNGKey(0)
-    agent_state, vec_state, buf_state = tr.init_states(key, key)
-    out = tr._chunk(agent_state, vec_state, buf_state, key, True)
-    jax.block_until_ready(out[0])
-    agent_state, vec_state, buf_state = out[0], out[1], out[2]
-    t0 = time.perf_counter()
-    for i in range(n_chunks):
-        key, k = jax.random.split(key)
-        out = tr._chunk(agent_state, vec_state, buf_state, k, True)
-        agent_state, vec_state, buf_state = out[0], out[1], out[2]
-    jax.block_until_ready(agent_state)
-    dt = time.perf_counter() - t0
-    env_steps_s = n_chunks * cfg.steps_per_chunk * cfg.num_envs / dt
-    updates_s = n_chunks * tr.updates_per_chunk / dt
-    return env_steps_s, updates_s
+    train_eps, train_ups = _time_chunks(tr, cfg, n_chunks, do_update=True)
+    env_only_eps, _ = _time_chunks(tr, cfg, n_chunks, do_update=False)
+    return train_eps, train_ups, env_only_eps
 
 
 def bench_pong_reference_architecture(n_steps: int = 100) -> float:
     """Border's per-step shape on Pong: 1 env, eager batch-1 CNN act,
-    one batch-32 update per step."""
+    one batch-32 update per step, host readback per step (the reference's
+    loop reads every Step on the host, trainer/sampler.rs:99-144)."""
     env = make("Pong-v0")
     agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4))
     vec = VecEnv(env, 1)
@@ -133,9 +159,10 @@ def bench_pong_reference_architecture(n_steps: int = 100) -> float:
         prev_obs, prev_len = vec_state.obs, vec_state.episode_length
         ts, vec_state = vec.step(vec_state, action)
         buf_state = proc(buf_state, prev_obs, action, ts, prev_len)
+        jax.device_get(ts.reward)
     key, k = jax.random.split(key)
     agent_state, _, _ = update(agent_state, sample(buf_state, k), k)
-    jax.block_until_ready(agent_state)
+    _sync(agent_state)
 
     t0 = time.perf_counter()
     for i in range(n_steps):
@@ -145,16 +172,17 @@ def bench_pong_reference_architecture(n_steps: int = 100) -> float:
         ts, vec_state = vec.step(vec_state, action)
         buf_state = proc(buf_state, prev_obs, action, ts, prev_len)
         agent_state, _, _ = update(agent_state, sample(buf_state, k2), k2)
-    jax.block_until_ready(agent_state)
+        jax.device_get(ts.reward)  # per-step host sync, as in the reference
+    _sync(agent_state, buf_state)
     return n_steps / (time.perf_counter() - t0)
 
 
 def bench_fused(n_chunks: int = 10) -> float:
-    """Fused vectorized trainer: env-steps/s over steady-state chunks."""
+    """Fused vectorized CartPole trainer: env-steps/s over steady-state
+    chunks (throughput config: 4096 envs, 1 update per 256 transitions)."""
     env = make("CartPole-v1")
     agent = DQN(DQNConfig(double_dqn=True))
     buffer = ReplayBuffer(capacity=65536)
-    # throughput config: 4096 envs, 1 update per 256 transitions
     cfg = TrainerConfig(
         num_envs=4096,
         steps_per_chunk=64,
@@ -164,28 +192,14 @@ def bench_fused(n_chunks: int = 10) -> float:
         max_opts=10**9,
     )
     tr = Trainer(env, agent, buffer, cfg)
-    key = jax.random.PRNGKey(0)
-    agent_state, vec_state, buf_state = tr.init_states(key, key)
-
-    # warm-up compile + one chunk
-    out = tr._chunk(agent_state, vec_state, buf_state, key, True)
-    jax.block_until_ready(out[0])
-    agent_state, vec_state, buf_state = out[0], out[1], out[2]
-
-    t0 = time.perf_counter()
-    for i in range(n_chunks):
-        key, k = jax.random.split(key)
-        out = tr._chunk(agent_state, vec_state, buf_state, k, True)
-        agent_state, vec_state, buf_state = out[0], out[1], out[2]
-    jax.block_until_ready(agent_state)
-    dt = time.perf_counter() - t0
-    return n_chunks * cfg.steps_per_chunk * cfg.num_envs / dt
+    eps, _ = _time_chunks(tr, cfg, n_chunks, do_update=True)
+    return eps
 
 
-def bench_reference_architecture(n_steps: int = 300) -> float:
+def bench_reference_architecture(n_steps: int = 200) -> float:
     """Border's per-step synchronous loop, re-created: 1 env, eager batch-1
     forward per action, one batch-64 update per env step (opt_interval=1,
-    ≙ examples/gym/dqn_cartpole config)."""
+    ≙ examples/gym/dqn_cartpole config), host readback per step."""
     env = make("CartPole-v1")
     agent = DQN(DQNConfig(double_dqn=True))
     buffer = ReplayBuffer(capacity=10_000)
@@ -206,22 +220,7 @@ def bench_reference_architecture(n_steps: int = 300) -> float:
     sample = jax.jit(lambda s, k: buffer.sample(s, k, 64))
     update = jax.jit(lambda s, b, k: agent.update(s, b, k))
 
-    # warmup fill + compile
-    for i in range(70):
-        key, k = jax.random.split(key)
-        action = select(agent_state, vec_state.obs, k)
-        prev_obs = vec_state.obs
-        ts, vec_state = vec.step(vec_state, action)
-        buf_state = push(buf_state, Transition(
-            obs=prev_obs, act=action, next_obs=ts.final_obs, reward=ts.reward,
-            terminated=ts.terminated, truncated=ts.truncated,
-        ))
-    key, k = jax.random.split(key)
-    agent_state, _, _ = update(agent_state, sample(buf_state, k), k)
-    jax.block_until_ready(agent_state)
-
-    t0 = time.perf_counter()
-    for i in range(n_steps):
+    def step_once(key, agent_state, vec_state, buf_state, do_update):
         key, k1, k2 = jax.random.split(key, 3)
         action = select(agent_state, vec_state.obs, k1)
         prev_obs = vec_state.obs
@@ -230,15 +229,35 @@ def bench_reference_architecture(n_steps: int = 300) -> float:
             obs=prev_obs, act=action, next_obs=ts.final_obs, reward=ts.reward,
             terminated=ts.terminated, truncated=ts.truncated,
         ))
-        agent_state, _, _ = update(agent_state, sample(buf_state, k2), k2)
-    jax.block_until_ready(agent_state)
+        if do_update:
+            agent_state, _, _ = update(agent_state, sample(buf_state, k2), k2)
+        jax.device_get(ts.reward)  # per-step host sync, as in the reference
+        return key, agent_state, vec_state, buf_state
+
+    for i in range(70):  # warmup fill + compile
+        key, agent_state, vec_state, buf_state = step_once(
+            key, agent_state, vec_state, buf_state, i >= 65
+        )
+    _sync(agent_state)
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, agent_state, vec_state, buf_state = step_once(
+            key, agent_state, vec_state, buf_state, True
+        )
+    _sync(agent_state, buf_state)
     return n_steps / (time.perf_counter() - t0)
 
 
 def main():
-    pong_eps, pong_ups = bench_pong_fused()
+    import gc
+
+    pong_eps, pong_ups, pong_env_only = bench_pong_fused()
+    gc.collect()  # drop the ~2 GB pong frame ring before the next bench
     pong_base = bench_pong_reference_architecture()
-    cp_fused = bench_fused(n_chunks=5)
+    gc.collect()
+    cp_fused = bench_fused(n_chunks=10)
+    gc.collect()
     cp_base = bench_reference_architecture(n_steps=200)
     print(
         json.dumps(
@@ -249,8 +268,9 @@ def main():
                 "vs_baseline": round(pong_eps / pong_base, 2),
                 "pong_updates_per_sec": round(pong_ups, 1),
                 "pong_ale_frames_per_sec": round(4 * pong_eps, 1),
+                "pong_env_only_steps_per_sec": round(pong_env_only, 1),
                 "baseline_env_steps_per_sec": round(pong_base, 1),
-                "baseline_def": "Border per-step actor shape on Pong (1 env, batch-1 CNN act, 1 update/step) same chip",
+                "baseline_def": "Border per-step actor shape on Pong (1 env, batch-1 CNN act, 1 update/step, host sync/step) same chip",
                 "cartpole_env_steps_per_sec": round(cp_fused, 1),
                 "cartpole_vs_baseline": round(cp_fused / cp_base, 2),
             }

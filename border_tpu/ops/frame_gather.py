@@ -13,6 +13,16 @@ frame-sized DMAs from HBM directly into the output buffer, driven by
 scalar-prefetched indices — no VMEM staging, no gather lowering.  A pure-JAX
 reference implementation (:func:`gather_frames_ref`) is the correctness
 oracle on CPU and in tests.
+
+**Measured verdict (v5e, DQN-Pong bench config: 1024 envs, batch 512,
+capacity 256, (56,128)-tile frames, sync-correct timing): the XLA gather
+is ~7 % faster end-to-end** — 54.1k env-steps/s fused-trainer throughput
+(845 batch-512 CNN updates/s) with the native gather vs 50.4k (787/s) with
+this kernel.  2048 ≈7 KB DMAs per sample batch are latency-bound, while
+XLA emits one bulk gather over the tile-aligned flat layout.
+``FrameReplayBuffer`` therefore defaults to the XLA path; the kernel stays
+available (``use_pallas=True``) for frame sizes large enough for DMA
+bandwidth to dominate latency.
 """
 
 from __future__ import annotations

@@ -42,10 +42,11 @@ from border_tpu.replay.buffer import TransitionBatch
 @struct.dataclass
 class FrameReplayState:
     # [N, cap, R, 128] uint8 — frame observed BEFORE acting, flattened and
-    # zero-padded to (R, 128) so each frame is a tile-aligned unit: the
-    # Pallas sample path (border_tpu.ops.gather_frames) DMAs whole frames
-    # HBM→HBM, and Mosaic requires (8·k, 128) slice shapes.  R·128 ≥ H·W,
-    # R ≡ 0 (mod 8); for 84×84 that is R=56 → 1.6 % padding overhead.
+    # zero-padded to (R, 128) so each frame is a tile-aligned unit: XLA's
+    # gather moves whole (R,128) tiles, and the optional Pallas path
+    # (border_tpu.ops.gather_frames) DMAs the same units (Mosaic requires
+    # (8·k, 128) slice shapes).  R·128 ≥ H·W, R ≡ 0 (mod 8); for 84×84
+    # that is R=56 → 1.6 % padding overhead.
     frames: jax.Array
     act: jax.Array  # [N, cap] int32
     reward: jax.Array  # [N, cap] f32
@@ -79,10 +80,11 @@ class FrameReplayBuffer:
         the reference documents but never implements
         (border-core/src/base/batch.rs:19-23).
 
-        ``use_pallas``: True forces the Pallas DMA gather
-        (:func:`border_tpu.ops.gather_frames`), False the pure-JAX gather,
-        ``"interpret"`` the Pallas kernel in interpreter mode (CPU testing),
-        None auto-selects Pallas on TPU backends."""
+        ``use_pallas``: None/False (default) uses the XLA gather — measured
+        ~7 % faster end-to-end than the Pallas DMA kernel at 84×84 frame
+        sizes on v5e (see border_tpu/ops/frame_gather.py); True forces the
+        Pallas kernel, ``"interpret"`` runs it in interpreter mode (CPU
+        testing)."""
         self.capacity = capacity
         self.num_envs = num_envs
         self.frame_hw = frame_hw
@@ -173,7 +175,7 @@ class FrameReplayBuffer:
         idx = (s_k % self.capacity).astype(jnp.int32)
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False  # XLA gather measured ~30× faster on v5e
         if use_pallas:
             from border_tpu.ops import gather_frames
 
