@@ -39,14 +39,21 @@ class AsyncTrainer(Trainer):
         key: Optional[jax.Array] = None,
         agent_state: Optional[Any] = None,
         buffer_state: Optional[Any] = None,
+        vec_state: Optional[Any] = None,
     ) -> TrainResult:
         c = self.config
         key = key if key is not None else jax.random.PRNGKey(c.seed)
         k_agent, k_env, k_loop = jax.random.split(key, 3)
 
-        init_agent, vec_state, init_buffer = self.init_states(k_agent, k_env)
-        learner_state = agent_state if agent_state is not None else init_agent
-        buffer_state = buffer_state if buffer_state is not None else init_buffer
+        # build only the states the caller did not supply (a resumed run
+        # passes all three; the reference's AsyncTrainer always rebuilds —
+        # async_trainer/base.rs:299-325)
+        if agent_state is None or buffer_state is None or vec_state is None:
+            init_agent, init_vec, init_buffer = self.init_states(k_agent, k_env)
+            agent_state = agent_state if agent_state is not None else init_agent
+            buffer_state = buffer_state if buffer_state is not None else init_buffer
+            vec_state = vec_state if vec_state is not None else init_vec
+        learner_state = agent_state
 
         # initial model sync broadcast (≙ async_trainer/base.rs:324-325)
         actor_params = self.agent.policy_params(learner_state)
