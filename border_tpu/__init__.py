@@ -26,3 +26,9 @@ __version__ = "0.1.0"
 
 from border_tpu.core import spaces  # noqa: F401
 from border_tpu.core.env import Environment, EnvParams  # noqa: F401
+from border_tpu.errors import (  # noqa: F401
+    BorderTpuError,
+    ConfigError,
+    RecordKeyError,
+    RecordValueTypeError,
+)

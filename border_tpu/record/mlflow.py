@@ -24,7 +24,10 @@ from border_tpu.record.record import Record
 from border_tpu.record.recorder import Recorder
 
 
-class MlflowError(RuntimeError):
+from border_tpu.errors import BorderTpuError
+
+
+class MlflowError(BorderTpuError, RuntimeError):
     pass
 
 

@@ -76,12 +76,23 @@ class Record:
     def merge_inplace(self, other: "Record") -> None:
         self._items.update(other._items)
 
+    def _get(self, key: str):
+        try:
+            return self._items[key]
+        except KeyError:
+            from border_tpu.errors import RecordKeyError
+
+            raise RecordKeyError(key) from None
+
     def get_scalar(self, key: str) -> float:
-        """Typed getter (≙ base.rs get_scalar; raises KeyError/TypeError
-        like LrrError RecordKey/RecordValueType errors, error.rs:1-14)."""
-        v = self._items[key]
+        """Typed getter (≙ base.rs get_scalar; raises the LrrError-style
+        RecordKeyError/RecordValueTypeError, border-core/src/error.rs:1-14,
+        both also catchable as plain KeyError/TypeError)."""
+        v = self._get(key)
         if not _is_scalar(v):
-            raise TypeError(f"record key {key!r} is not a scalar: {type(v)}")
+            from border_tpu.errors import RecordValueTypeError
+
+            raise RecordValueTypeError(key, "scalar", type(v).__name__)
         return float(v)
 
     def get_scalar_without_key(self) -> float:
@@ -94,13 +105,14 @@ class Record:
         return float(scalars[0])
 
     def get_array(self, key: str) -> np.ndarray:
-        v = self._items[key]
-        return np.asarray(v)
+        return np.asarray(self._get(key))
 
     def get_string(self, key: str) -> str:
-        v = self._items[key]
+        v = self._get(key)
         if not isinstance(v, str):
-            raise TypeError(f"record key {key!r} is not a string")
+            from border_tpu.errors import RecordValueTypeError
+
+            raise RecordValueTypeError(key, "string", type(v).__name__)
         return v
 
     def to_dict(self) -> Dict[str, Any]:

@@ -107,7 +107,9 @@ def build_agent(kind: str, config: Optional[Dict[str, Any]] = None):
     field_names = {f.name for f in dataclasses.fields(cfg_cls)}
     unknown = set(d) - field_names
     if unknown:
-        raise ValueError(f"unknown {kind} config fields: {sorted(unknown)}")
+        from border_tpu.errors import ConfigError
+
+        raise ConfigError(f"unknown {kind} config fields: {sorted(unknown)}")
     if "model" in d:
         d = _resolve_model(d)
     for f in dataclasses.fields(cfg_cls):

@@ -114,3 +114,26 @@ def test_tfevent_writer_readable_by_tensorboard(tmp_path):
     assert images[0].image.encoded_image_string.startswith(b"\x89PNG")
     histos = [v for e in events for v in e.summary.value if v.HasField("histo")]
     assert histos and histos[0].histo.num == 100.0
+
+
+def test_unified_error_surface():
+    """≙ LrrError (border-core/src/error.rs:1-14): one catchable hierarchy,
+    compatible with the builtin KeyError/TypeError idioms."""
+    import pytest
+
+    from border_tpu import BorderTpuError, RecordKeyError, RecordValueTypeError
+    from border_tpu.record.record import Record
+
+    r = Record({"a": 1.0, "s": "text"})
+    with pytest.raises(RecordKeyError):
+        r.get_scalar("missing")
+    with pytest.raises(KeyError):  # builtin-compatible
+        r.get_scalar("missing")
+    with pytest.raises(RecordValueTypeError):
+        r.get_scalar("s")
+    with pytest.raises(BorderTpuError):
+        r.get_string("a")
+
+    from border_tpu.record.mlflow import MlflowError
+
+    assert issubclass(MlflowError, BorderTpuError)
