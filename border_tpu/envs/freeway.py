@@ -1,0 +1,125 @@
+"""Freeway: an on-device ALE-Freeway-equivalent stepper in pure JAX.
+
+Fourth game of the pixel catalogue (with Pong/Breakout/Seaquest),
+replacing border-atari-env's C++ ALE FFI
+(border-atari-env/src/atari_env/ale.rs:62-100) with vectorizable dynamics.
+Contract mirrors ALE Freeway's minimal action set
+(≙ get_num_actions_atari, env.rs:97-100): 3 actions NOOP/UP/DOWN, +1
+reward each time the chicken crosses all ten traffic lanes, collision
+knocks it back down, a fixed timer ends the episode (ALE: 2:16 of game
+time) — score is crossings-per-episode.  Runs under
+:class:`border_tpu.envs.pixel.PixelEnv` for frame-skip-4/max-pool/stack-4
+/sign-clip preprocessing (env.rs:126-199).
+
+Start-state variety comes from randomized car phases (≙ noop-reset
+entropy, env.rs:263-299).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from border_tpu.envs.pixel import FRAME_H, FRAME_W, PixelEnv, PixelGame
+
+N_LANES = 10
+# lane centers from top (y=0) to bottom (y=1)
+LANE_Y = jnp.linspace(0.14, 0.82, N_LANES)
+# per-lane speed (fraction of screen width per emulator frame); the middle
+# lanes are fastest, as in the original game
+LANE_SPEED = jnp.asarray(
+    [0.004, 0.006, 0.008, 0.010, 0.012, 0.012, 0.010, 0.008, 0.006, 0.004],
+    jnp.float32,
+)
+# top half drives left, bottom half right
+LANE_DIR = jnp.asarray([-1, -1, -1, -1, -1, 1, 1, 1, 1, 1], jnp.float32)
+
+CHICKEN_X = 0.5
+CHICKEN_SPEED = 0.008  # vertical speed per emulator frame
+START_Y = 0.92
+GOAL_Y = 0.06
+CAR_HALF_W = 0.045
+CAR_HALF_H = 0.028
+HIT_KNOCKBACK = 0.22  # ≈ knocked back three lanes
+EPISODE_FRAMES = 8_160  # ≙ the 2:16 ALE game timer at 60 fps
+
+
+@struct.dataclass
+class FreewayState:
+    chicken_y: jax.Array  # [] f32, 1=bottom 0=top
+    car_x: jax.Array  # [N_LANES] f32 in [0, 1)
+    score: jax.Array  # [] i32 crossings
+    frame: jax.Array  # [] i32 emulator frames elapsed
+
+
+class Freeway(PixelGame):
+    num_actions = 3  # NOOP UP DOWN (ALE minimal set)
+    name = "Freeway-v0"
+    max_frames = 2 * EPISODE_FRAMES  # timer terminates first
+
+    def init(self, key):
+        return FreewayState(
+            chicken_y=jnp.float32(START_Y),
+            car_x=jax.random.uniform(key, (N_LANES,), jnp.float32),
+            score=jnp.int32(0),
+            frame=jnp.int32(0),
+        )
+
+    def frame_step(self, key, state: FreewayState, action):
+        a = action.astype(jnp.int32)
+        move = jnp.where(a == 1, -1.0, 0.0) + jnp.where(a == 2, 1.0, 0.0)
+        y = jnp.clip(state.chicken_y + move * CHICKEN_SPEED, 0.0, START_Y)
+
+        car_x = (state.car_x + LANE_SPEED * LANE_DIR) % 1.0
+
+        # collision: any car overlapping the chicken's fixed x column
+        dx = jnp.abs(car_x - CHICKEN_X)
+        dy = jnp.abs(LANE_Y - y)
+        hit = jnp.any((dx <= CAR_HALF_W) & (dy <= CAR_HALF_H + 0.012))
+        y = jnp.where(hit, jnp.minimum(y + HIT_KNOCKBACK, START_Y), y)
+
+        # crossing: reached the top bank → +1, restart at the bottom
+        crossed = y <= GOAL_Y
+        reward = jnp.where(crossed, 1.0, 0.0).astype(jnp.float32)
+        y = jnp.where(crossed, START_Y, y)
+
+        frame = state.frame + 1
+        done = frame >= EPISODE_FRAMES
+        new_state = FreewayState(
+            chicken_y=y,
+            car_x=car_x,
+            score=state.score + crossed.astype(jnp.int32),
+            frame=frame,
+        )
+        return new_state, reward, done
+
+    def render(self, state: FreewayState) -> jax.Array:
+        ys = jnp.arange(FRAME_H, dtype=jnp.float32)[:, None] / FRAME_H
+        xs = jnp.arange(FRAME_W, dtype=jnp.float32)[None, :] / FRAME_W
+        img = jnp.full((FRAME_H, FRAME_W), 60, jnp.float32)  # road
+
+        # grass banks
+        img = jnp.where((ys < GOAL_Y) | (ys > START_Y + 0.02), 110.0, img)
+        # lane markers
+        marker = jnp.any(
+            jnp.abs(ys[None] - (LANE_Y + 0.042)[:, None, None]) < 0.005, axis=0
+        )
+        img = jnp.where(marker & (jnp.floor(xs * 12) % 2 == 0), 90.0, img)
+
+        # cars: bright rectangles (wrap-aware in x)
+        dxs = jnp.abs(((xs[None] - state.car_x[:, None, None]) + 0.5) % 1.0 - 0.5)
+        dys = jnp.abs(ys[None] - LANE_Y[:, None, None])
+        cars = jnp.any((dxs <= CAR_HALF_W) & (dys <= CAR_HALF_H), axis=0)
+        img = jnp.where(cars, 200.0, img)
+
+        # chicken: white blob at the fixed column
+        chick = (jnp.abs(xs - CHICKEN_X) <= 0.02) & (
+            jnp.abs(ys - state.chicken_y) <= 0.022
+        )
+        img = jnp.where(chick, 255.0, img)
+        return img.astype(jnp.uint8)
+
+
+def make_freeway(train: bool = True) -> PixelEnv:
+    return PixelEnv(Freeway(), train=train)

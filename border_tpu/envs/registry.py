@@ -40,9 +40,12 @@ def _register_builtins() -> None:
     from border_tpu.envs.breakout import make_breakout
     from border_tpu.envs.seaquest import make_seaquest
 
+    from border_tpu.envs.freeway import make_freeway
+
     register("Pong-v0", make_pong)
     register("Breakout-v0", make_breakout)
     register("Seaquest-v0", make_seaquest)
+    register("Freeway-v0", make_freeway)
 
     from border_tpu.envs.reacher import FlattenDictWrapper, Reacher
 

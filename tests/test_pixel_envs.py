@@ -132,3 +132,72 @@ def test_pong_frames_move():
         ts, state = vec.step(state, jnp.zeros((1,), jnp.int32))
     obs = np.asarray(state.obs[0])
     assert not np.array_equal(obs[:, :, 0], obs[:, :, 3])
+
+
+def test_freeway_mechanics():
+    """Holding UP crosses and scores; collisions knock the chicken back;
+    the timer terminates the episode."""
+    import jax
+    import jax.numpy as jnp
+
+    from border_tpu.envs import make
+    from border_tpu.envs.freeway import EPISODE_FRAMES, START_Y
+
+    env = make("Freeway-v0", train=False)
+    params = env.default_params
+    key = jax.random.PRNGKey(0)
+    obs, state = env.reset_env(key, params)
+    assert obs.shape == (84, 84, 4) and obs.dtype == jnp.uint8
+
+    step = jax.jit(lambda k, s, a: env.step_env(k, s, a, params))
+    total_r = 0.0
+    knocked = False
+    prev_y = float(state.game.chicken_y)
+    up = jnp.int32(1)
+    for i in range(600):
+        key, k = jax.random.split(key)
+        obs, state, r, term, trunc, _ = step(k, state, up)
+        y = float(state.game.chicken_y)
+        if y > prev_y + 0.1:
+            knocked = True
+        prev_y = y
+        total_r += float(r)
+        if bool(term) or bool(trunc):
+            break
+    assert total_r >= 1.0, "holding UP never crossed"
+    assert knocked, "no collision knockback observed"
+    assert int(state.game.score) == int(total_r)
+
+    # timer terminates
+    state = state.replace(
+        game=state.game.replace(frame=jnp.int32(EPISODE_FRAMES - 2))
+    )
+    obs, state, r, term, trunc, _ = step(key, state, jnp.int32(0))
+    assert bool(term)
+
+
+def test_freeway_up_beats_random():
+    """Score ordering sanity: always-UP > random over the same horizon."""
+    import jax
+    import jax.numpy as jnp
+
+    from border_tpu.envs import make
+
+    env = make("Freeway-v0", train=False)
+    params = env.default_params
+    step = jax.jit(lambda k, s, a: env.step_env(k, s, a, params))
+
+    def run(policy_fn, seed):
+        key = jax.random.PRNGKey(seed)
+        obs, state = env.reset_env(key, params)
+        total = 0.0
+        for i in range(400):
+            key, k1, k2 = jax.random.split(key, 3)
+            a = policy_fn(k1)
+            obs, state, r, term, trunc, _ = step(k2, state, a)
+            total += float(r)
+        return total
+
+    up = run(lambda k: jnp.int32(1), 0)
+    rnd = run(lambda k: jax.random.randint(k, (), 0, 3), 0)
+    assert up > rnd
