@@ -110,15 +110,36 @@ class ReplayBuffer:
     (generic_replay_buffer/config.rs:44-120).
     """
 
-    def __init__(self, capacity: int, per: Optional[PerConfig] = None):
+    def __init__(
+        self,
+        capacity: int,
+        per: Optional[PerConfig] = None,
+        n_step: int = 1,
+        gamma: float = 0.99,
+        stride: int = 1,
+    ):
+        """``n_step > 1`` makes ``sample`` return n-step backups
+        (``reward = Σ γ^k r_{t+k}`` stopped at the first episode boundary,
+        ``next_obs`` from t+m, ``discount = γ^m``) — the n>1 extension the
+        reference documents but never implements (batch.rs:19-23).
+
+        ``stride`` is the ring distance between a transition and the SAME
+        env's next transition: 1 for sequentially-pushed data (offline
+        corpora, single env), ``num_envs`` for lockstep vec-env pushes
+        (each vec step pushes a [num_envs] batch)."""
         self.capacity = capacity
         self.per = per
+        self.n_step = n_step
+        self.gamma = gamma
+        self.stride = stride
         self.tree = SumTree(capacity) if per is not None else None
         if self.tree is not None and self.tree.capacity != capacity:
             raise ValueError(
                 "PER requires a power-of-two capacity "
                 f"(got {capacity}; next is {self.tree.capacity})"
             )
+        if n_step > 1 and capacity < (n_step + 1) * stride:
+            raise ValueError("capacity too small for n_step × stride window")
 
     # -- construction (≙ ReplayBufferBase::build, base.rs:336-356) ---------
     def init(self, example: Transition) -> ReplayBufferState:
@@ -187,9 +208,17 @@ class ReplayBuffer:
         n_opts: Optional[jax.Array] = None,
     ) -> TransitionBatch:
         if self.per is None:
-            idx = jax.random.randint(
-                key, (batch_size,), 0, jnp.maximum(state.size, 1)
-            )
+            if self.n_step > 1:
+                # draw "steps before the cursor" so the whole n-step window
+                # is written: d ∈ [(n−1)·stride, size)
+                lo = (self.n_step - 1) * self.stride
+                hi = jnp.maximum(state.size, lo + 1)
+                d = jax.random.randint(key, (batch_size,), lo, hi)
+                idx = (state.cursor - 1 - d) % self.capacity
+            else:
+                idx = jax.random.randint(
+                    key, (batch_size,), 0, jnp.maximum(state.size, 1)
+                )
             weight = jnp.ones((batch_size,), jnp.float32)
         else:
             idx = self.tree.sample(state.tree, key, batch_size)
@@ -201,6 +230,8 @@ class ReplayBuffer:
                 state.tree, idx, state.size, beta, self.per.normalize_all
             )
         picked = jax.tree.map(lambda store: store[idx], state.data)
+        if self.n_step > 1:
+            return self._nstep_batch(state, idx, picked, weight)
         return TransitionBatch(
             obs=picked.obs,
             act=picked.act,
@@ -210,6 +241,36 @@ class ReplayBuffer:
             truncated=picked.truncated,
             weight=weight,
             ix_sample=idx,
+        )
+
+    def _nstep_batch(self, state, idx, picked, weight) -> TransitionBatch:
+        """n-step accumulation along each sampled env's timeline
+        (consecutive same-env transitions sit ``stride`` apart in the
+        ring), stopped at the first episode boundary and at the write
+        cursor (PER-sampled indices may sit close to it)."""
+        ks = jnp.arange(self.n_step)  # [n]
+        pk = (idx[:, None] + ks[None, :] * self.stride) % self.capacity
+        # steps-before-cursor of the base transition bounds the window
+        d = (state.cursor - 1 - idx) % self.capacity
+        valid = ks[None, :] * self.stride <= d[:, None]
+        r_k = state.data.reward[pk]
+        done_k = state.data.terminated[pk] | state.data.truncated[pk]
+        prior_done = jnp.cumsum(done_k.astype(jnp.int32), axis=1) - done_k
+        continuing = ((prior_done == 0) & valid).astype(jnp.float32)
+        gammas = self.gamma ** ks.astype(jnp.float32)
+        reward_n = jnp.sum(r_k * gammas[None, :] * continuing, axis=1)
+        m = jnp.sum(continuing, axis=1).astype(jnp.int32)  # ≥ 1 (k=0 valid)
+        p_last = (idx + (m - 1) * self.stride) % self.capacity
+        return TransitionBatch(
+            obs=picked.obs,
+            act=picked.act,
+            next_obs=jax.tree.map(lambda s: s[p_last], state.data.next_obs),
+            reward=reward_n,
+            terminated=state.data.terminated[p_last],
+            truncated=state.data.truncated[p_last],
+            weight=weight,
+            ix_sample=idx,
+            discount=self.gamma ** m.astype(jnp.float32),
         )
 
     # -- priority feedback (≙ update_priority, base.rs:413-426) ------------

@@ -92,6 +92,21 @@ class Trainer:
             1, round(transitions_per_chunk / c.opt_interval)
         ) * c.n_updates_per_opt
 
+        # n-step ReplayBuffers must know the ring stride between a given
+        # env's consecutive transitions (= envs pushed per vec step)
+        if (
+            type(self) is Trainer
+            and isinstance(buffer, ReplayBuffer)
+            and buffer.n_step > 1
+            and buffer.stride != c.num_envs
+        ):
+            from border_tpu.errors import ConfigError
+
+            raise ConfigError(
+                f"n-step ReplayBuffer stride ({buffer.stride}) must equal "
+                f"num_envs ({c.num_envs}) for lockstep vec-env pushes"
+            )
+
     # ------------------------------------------------------------------
     # fused chunk
     # ------------------------------------------------------------------

@@ -106,3 +106,102 @@ def test_push_sample_jit_fused():
 
     state, batch = step(state, jax.random.PRNGKey(0))
     assert batch.obs.shape == (8, 3)
+
+
+class TestNStepReplayBuffer:
+    """n-step backups in the flat ring buffer (the n>1 extension the
+    reference documents but never implements, batch.rs:19-23).  Stride
+    encodes the ring distance between one env's consecutive transitions."""
+
+    def _fill(self, buffer, rewards, dones):
+        import jax.numpy as jnp
+
+        from border_tpu.replay import Transition
+
+        obs = jnp.arange(len(rewards), dtype=jnp.float32)[:, None]
+        state = buffer.init(
+            Transition(obs=obs[0], act=jnp.int32(0), next_obs=obs[0],
+                       reward=jnp.float32(0), terminated=jnp.bool_(False),
+                       truncated=jnp.bool_(False))
+        )
+        batch = Transition(
+            obs=obs, act=jnp.zeros(len(rewards), jnp.int32),
+            next_obs=obs + 100.0,
+            reward=jnp.asarray(rewards, jnp.float32),
+            terminated=jnp.asarray(dones, bool),
+            truncated=jnp.zeros(len(rewards), bool),
+        )
+        return buffer.push(state, batch)
+
+    def test_nstep_accumulation_and_boundary(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from border_tpu.replay import ReplayBuffer
+
+        g = 0.9
+        buffer = ReplayBuffer(capacity=64, n_step=3, gamma=g, stride=1)
+        # rewards 1..8; episode boundary after index 3
+        state = self._fill(buffer, [1, 2, 3, 4, 5, 6, 7, 8],
+                           [False, False, False, True, False, False, False, False])
+        batch = buffer.sample(state, jax.random.PRNGKey(0), 256)
+        idx = np.asarray(batch.ix_sample)
+        # window always fits: d >= (n-1)*stride keeps idx <= 5
+        assert idx.max() <= 5
+        r = np.asarray(batch.reward)
+        disc = np.asarray(batch.discount)
+        nobs = np.asarray(batch.next_obs)[:, 0]
+        for i, b in enumerate(idx):
+            if b <= 1:  # full 3-step windows without boundary
+                want = (b + 1) + g * (b + 2) + g * g * (b + 3)
+                assert abs(r[i] - want) < 1e-5
+                assert abs(disc[i] - g ** 3) < 1e-6
+                assert nobs[i] == b + 2 + 100.0
+            if b == 3:  # starts AT the boundary: stops after 1 step
+                assert abs(r[i] - 4.0) < 1e-5
+                assert abs(disc[i] - g) < 1e-6
+                assert bool(batch.terminated[i])
+            if b == 2:  # crosses the boundary after 2 steps
+                want = 3 + g * 4
+                assert abs(r[i] - want) < 1e-5
+                assert abs(disc[i] - g * g) < 1e-6
+
+    def test_nstep_stride_interleaved_envs(self):
+        import jax
+        import numpy as np
+
+        from border_tpu.replay import ReplayBuffer
+
+        g = 0.5
+        # two envs pushed in lockstep: env0 rewards 1,3,5,7; env1 2,4,6,8
+        buffer = ReplayBuffer(capacity=64, n_step=2, gamma=g, stride=2)
+        state = self._fill(buffer, [1, 2, 3, 4, 5, 6, 7, 8],
+                           [False] * 8)
+        batch = buffer.sample(state, jax.random.PRNGKey(1), 256)
+        idx = np.asarray(batch.ix_sample)
+        r = np.asarray(batch.reward)
+        for i, b in enumerate(idx):
+            want = (b + 1) + g * (b + 3)  # same-env next sits 2 slots later
+            assert abs(r[i] - want) < 1e-5
+
+    def test_nstep_trainer_stride_validation(self):
+        import pytest
+
+        from border_tpu.envs import make
+        from border_tpu.errors import ConfigError
+        from border_tpu.replay import ReplayBuffer
+        from border_tpu.train import Trainer, TrainerConfig
+        from border_tpu.agents import DQN, DQNConfig
+
+        env = make("CartPole-v1")
+        cfg = TrainerConfig(num_envs=8, steps_per_chunk=4, batch_size=8,
+                            opt_interval=8, warmup_period=0, max_opts=2)
+        with pytest.raises(ConfigError):
+            Trainer(env, DQN(DQNConfig(hidden=(8,))),
+                    ReplayBuffer(256, n_step=3, stride=1), cfg)
+        # correct stride: trains end to end with n-step targets
+        tr = Trainer(env, DQN(DQNConfig(hidden=(8,))),
+                     ReplayBuffer(256, n_step=3, stride=8), cfg)
+        res = tr.train()
+        assert res.opt_steps >= 2
