@@ -13,6 +13,12 @@ time) — score is crossings-per-episode.  Runs under
 
 Start-state variety comes from randomized car phases (≙ noop-reset
 entropy, env.rs:263-299).
+
+Documented divergence: the chicken crosses faster relative to the timer
+than ALE's (a crossing ≈ 54 unobstructed frames), so episode scores run
+higher than ALE Freeway's ~30 ceiling — DQN reaches ~114 crossings/episode
+(artifacts/freeway_curve.json) from a near-zero random baseline; the
+learning dynamics (sparse +1 on crossing, collision setbacks) match.
 """
 
 from __future__ import annotations
@@ -24,24 +30,32 @@ from flax import struct
 from border_tpu.envs.pixel import FRAME_H, FRAME_W, PixelEnv, PixelGame
 
 N_LANES = 10
+# numpy (not jnp) module constants: importing an env module must never
+# initialize an XLA backend — jax.distributed.initialize runs first in
+# multi-process programs (see parallel/distributed.py)
+import numpy as np
+
 # lane centers from top (y=0) to bottom (y=1)
-LANE_Y = jnp.linspace(0.14, 0.82, N_LANES)
+LANE_Y = np.linspace(0.14, 0.82, N_LANES, dtype=np.float32)
 # per-lane speed (fraction of screen width per emulator frame); the middle
 # lanes are fastest, as in the original game
-LANE_SPEED = jnp.asarray(
+LANE_SPEED = np.asarray(
     [0.004, 0.006, 0.008, 0.010, 0.012, 0.012, 0.010, 0.008, 0.006, 0.004],
-    jnp.float32,
+    np.float32,
 )
 # top half drives left, bottom half right
-LANE_DIR = jnp.asarray([-1, -1, -1, -1, -1, 1, 1, 1, 1, 1], jnp.float32)
+LANE_DIR = np.asarray([-1, -1, -1, -1, -1, 1, 1, 1, 1, 1], np.float32)
 
 CHICKEN_X = 0.5
-CHICKEN_SPEED = 0.008  # vertical speed per emulator frame
+# ALE proportions: the chicken crosses the 10 lanes in a few dozen presses
+# and a hit sets it back roughly one lane — keeps ε-greedy exploration able
+# to score (DQN-paper Freeway learns from near-zero random returns)
+CHICKEN_SPEED = 0.016  # vertical speed per emulator frame
 START_Y = 0.92
 GOAL_Y = 0.06
 CAR_HALF_W = 0.045
 CAR_HALF_H = 0.028
-HIT_KNOCKBACK = 0.22  # ≈ knocked back three lanes
+HIT_KNOCKBACK = 0.09  # ≈ knocked back one lane
 EPISODE_FRAMES = 8_160  # ≙ the 2:16 ALE game timer at 60 fps
 
 

@@ -45,6 +45,27 @@ def _run_workers(nproc: int, ndev_local: int, port: int, timeout: int = 420):
     return outs
 
 
+def test_import_does_not_initialize_backend():
+    """Importing any framework module must not initialize an XLA backend:
+    jax.distributed.initialize has to run first in multi-process programs.
+    (Regression guard: module-level jnp constants in env modules broke
+    this twice.)"""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import jax._src.xla_bridge as xb; "
+        "import border_tpu, border_tpu.envs, border_tpu.agents, "
+        "border_tpu.train, border_tpu.parallel, border_tpu.data, "
+        "border_tpu.replay, border_tpu.record, border_tpu.utils; "
+        "print(xb.backends_are_initialized())"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines()[-1] == "False"
+
+
 def test_two_process_training_matches_single_process():
     port = _free_port()
     two = _run_workers(nproc=2, ndev_local=4, port=port)
