@@ -128,24 +128,29 @@ class PixelEnv(Environment):
     def step_env(self, key, state, action, params):
         keys = jax.random.split(key, params.frame_skip)
 
-        def substep(carry, k):
-            game, total_r, done, prev_frame = carry
-            game2, r, d = self.game.frame_step(k, game, action)
+        # unrolled frame-skip: only the LAST TWO substeps are rendered —
+        # the max-pool consumes nothing else (≙ ALE, which grabs the screen
+        # only on the frames it pools, env.rs:126-152); skipping the first
+        # frame_skip−2 renders roughly halves the env engine's frame cost
+        game = state.game
+        reward = jnp.float32(0.0)
+        done = jnp.bool_(False)
+        rendered = []
+        for i in range(params.frame_skip):
+            game2, r, d = self.game.frame_step(keys[i], game, action)
             # freeze dynamics once the point/episode ended mid-skip
             game = jax.tree.map(
                 lambda a, b: jax.lax.select(done, a, b), game, game2
             )
-            total_r = total_r + jnp.where(done, 0.0, r)
-            frame = self.game.render(game)
-            return (game, total_r, jnp.logical_or(done, d), prev_frame), frame
-
-        (game, reward, done, _), rendered = jax.lax.scan(
-            substep,
-            (state.game, jnp.float32(0.0), jnp.bool_(False), state.frames[:, :, -1]),
-            keys,
-        )
+            reward = reward + jnp.where(done, 0.0, r)
+            done = jnp.logical_or(done, d)
+            if i >= params.frame_skip - 2:
+                rendered.append(self.game.render(game))
         # max-pool of the last two raw frames (env.rs:126-152)
-        frame = jnp.maximum(rendered[-1], rendered[-2])
+        frame = (
+            rendered[-1] if len(rendered) == 1
+            else jnp.maximum(rendered[-1], rendered[-2])
+        )
         frames = jnp.concatenate(
             [state.frames[:, :, 1:], frame[:, :, None]], axis=2
         )
