@@ -11,3 +11,4 @@ from border_tpu.train.evaluator import Evaluator  # noqa: F401
 from border_tpu.train.offline import OfflineTrainer  # noqa: F401
 from border_tpu.train.async_trainer import AsyncTrainer  # noqa: F401
 from border_tpu.train.host import HostEnvTrainer, HostEvaluator  # noqa: F401
+from border_tpu.train.elastic import TrainingFailed, run_elastic  # noqa: F401
