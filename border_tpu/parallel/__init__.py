@@ -13,6 +13,7 @@ from border_tpu.parallel.distributed import (  # noqa: F401
     init_distributed,
     process_info,
 )
+from border_tpu.parallel.gspmd import GSPMDTrainer, make_dp_tp_mesh  # noqa: F401
 from border_tpu.parallel.mesh import make_mesh  # noqa: F401
 from border_tpu.parallel.sharded import ShardedTrainer  # noqa: F401
 from border_tpu.parallel.async_sharded import ShardedAsyncTrainer  # noqa: F401
