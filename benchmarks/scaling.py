@@ -93,6 +93,12 @@ if ARGS.worker >= 0:
 
 import jax  # noqa: E402
 
+# the ambient sitecustomize force-registers the TPU backend over
+# JAX_PLATFORMS; honor the env var programmatically so CPU-mesh sweeps
+# never claim the chip
+if ARGS.worker < 0 and os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 cache = (
     "/root/repo/.jax_cache"
     if jax.default_backend() not in ("cpu",)
