@@ -79,3 +79,24 @@ def test_async_trainer_sac_and_state_handoff():
     assert int(res2.agent_state.n_opts) >= 2 * CFG.max_opts
     # continued from the handed-over optimizer step count, not from zero
     assert int(res2.agent_state.n_opts) > int(res1.agent_state.n_opts)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+def test_sharded_async_pixel_frame_buffer():
+    """Decoupled mode over the mesh with the flagship pixel stack
+    (AtariCNN + frame-dedup replay shards)."""
+    from border_tpu.models import AtariCNN
+    from border_tpu.replay import FrameReplayBuffer
+
+    n = jax.device_count()
+    env = make("Pong-v0")
+    agent = DQN(DQNConfig(model=lambda a: AtariCNN(out_dim=a), lr=1e-4))
+    cfg = CFG.replace(num_envs=2 * n, batch_size=2 * n, max_opts=2,
+                      warmup_period=0, steps_per_chunk=8, eval_interval=10**9)
+    buffer = FrameReplayBuffer(capacity=32, num_envs=cfg.num_envs)
+    tr = ShardedAsyncTrainer(env, agent, buffer, cfg)
+    res = tr.train()
+    assert res.opt_steps >= 2
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(res.agent_state.params)[0])
+    ).all()
