@@ -43,7 +43,8 @@ def gate() -> int:
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
     results = {}
     ok = True
-    for name in ("cartpole", "pendulum", "pong", "seaquest"):
+    for name in ("cartpole", "pendulum", "pong", "seaquest",
+                 "breakout", "freeway"):
         path = os.path.join(art, f"{name}_curve.json")
         if not os.path.exists(path):
             results[name] = {"status": "missing"}

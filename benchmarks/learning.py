@@ -142,7 +142,8 @@ def run(config: str, seed: int, out: str) -> float:
 def assemble(out: str) -> None:
     """Merge per-config curve artifacts into one learning-evidence file."""
     merged = {}
-    for name in ("cartpole", "pendulum", "pong", "seaquest"):
+    for name in ("cartpole", "pendulum", "pong", "seaquest",
+                 "breakout", "freeway"):
         path = os.path.join(ARTIFACTS, f"{name}_curve.json")
         if os.path.exists(path):
             with open(path) as f:
