@@ -41,7 +41,8 @@ ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 # variance spans ~230-500 on v1, so the v0 bar is the robust parity gate),
 # Pendulum-v1 solved band, Pong ≥18 (BASELINE.md north star), Seaquest
 # re-implemented game band (asserts the agent genuinely learns).
-TARGETS = {"cartpole": 200.0, "pendulum": -200.0, "pong": 18.0, "seaquest": 200.0}
+TARGETS = {"cartpole": 200.0, "pendulum": -200.0, "pong": 18.0,
+           "seaquest": 200.0, "breakout": 100.0, "freeway": 30.0}
 
 
 def _build(config: str, seed: int):
@@ -100,6 +101,30 @@ def _build(config: str, seed: int):
         evaluator = Evaluator(make("Seaquest-v0", train=False), n_episodes=10,
                               max_steps=3_000)
         meta = {"env": "Seaquest-v0", "agent": "IQN+AtariCNN"}
+    elif config == "breakout":
+        env = make("Breakout-v0")
+        agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                              double_dqn=True, soft_update_interval=2_000,
+                              tau=1.0, eps_final_step=1_000_000))
+        cfg = TrainerConfig(max_opts=60_000, warmup_period=50_000,
+                            opt_interval=64, batch_size=512, num_envs=512,
+                            steps_per_chunk=32, eval_interval=4_000, seed=seed)
+        buffer = FrameReplayBuffer(capacity=512, num_envs=512)
+        evaluator = Evaluator(make("Breakout-v0", train=False), n_episodes=5,
+                              max_steps=3_000)
+        meta = {"env": "Breakout-v0", "agent": "DQN+AtariCNN"}
+    elif config == "freeway":
+        env = make("Freeway-v0")
+        agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                              double_dqn=True, soft_update_interval=2_000,
+                              tau=1.0, eps_final_step=500_000))
+        cfg = TrainerConfig(max_opts=30_000, warmup_period=50_000,
+                            opt_interval=64, batch_size=512, num_envs=512,
+                            steps_per_chunk=32, eval_interval=2_000, seed=seed)
+        buffer = FrameReplayBuffer(capacity=512, num_envs=512)
+        evaluator = Evaluator(make("Freeway-v0", train=False), n_episodes=5,
+                              max_steps=2_100)
+        meta = {"env": "Freeway-v0", "agent": "DQN+AtariCNN"}
     else:
         raise KeyError(config)
     return env, agent, buffer, cfg, evaluator, meta
@@ -158,7 +183,8 @@ def assemble(out: str) -> None:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("config", choices=["cartpole", "pendulum", "pong",
-                                      "seaquest", "assemble"])
+                                      "seaquest", "breakout", "freeway",
+                                      "assemble"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
     args = p.parse_args()

@@ -26,6 +26,13 @@ reset frame (rare: one transition per 27k-frame cap).
 Uniform sampling only (the reference's Atari configs also run PER-less:
 ``per_config: None``); samples are drawn from absolute steps
 ``[total − size + 4, total − 1)`` so every gathered window is resident.
+
+Performance note: ``sample`` is designed to run INSIDE a jit-fused
+training loop (the Trainer's update scan), where XLA fuses the frame
+gather with its CNN consumer — measured ~free next to the batch-512
+update (2 ms).  A standalone ``jit(sample)`` call materializes the
+gather unfused and costs ~50 ms at the Pong bench shapes (with either
+gather backend); don't build per-call host loops around it.
 """
 
 from __future__ import annotations
