@@ -101,14 +101,17 @@ class MinariDataset:
     @classmethod
     def load(cls, dataset_id: str,
              converter: Optional[MinariConverter] = None) -> "MinariDataset":
-        """Resolve ``dataset_id`` against the Minari package if importable,
-        else the local committed-corpus registry."""
+        """Resolve ``dataset_id``: the local committed-corpus registry
+        first (always reachable, even with the minari package installed),
+        then the Minari package when importable."""
+        npz = os.path.join(LOCAL_DATASET_DIR, f"{dataset_id}.npz")
+        if os.path.exists(npz):
+            return cls._from_local(dataset_id)
         try:
             import minari  # type: ignore
-
-            return cls._from_minari_pkg(dataset_id, minari, converter)
         except ImportError:
-            return cls._from_local(dataset_id)
+            return cls._from_local(dataset_id)  # raises with local listing
+        return cls._from_minari_pkg(dataset_id, minari, converter)
 
     @classmethod
     def _from_minari_pkg(cls, dataset_id: str, minari,

@@ -65,7 +65,8 @@ class ShardedTrainer(Trainer):
         mesh: Optional[Mesh] = None,
         axis: str = "actors",
     ):
-        super().__init__(env, agent, buffer, config, recorder, evaluator)
+        # mesh resolves before super().__init__ so the n-step stride check
+        # there sees the per-device env count (_nstep_expected_stride)
         if mesh is None:
             from border_tpu.parallel.mesh import make_mesh
 
@@ -73,6 +74,7 @@ class ShardedTrainer(Trainer):
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
+        super().__init__(env, agent, buffer, config, recorder, evaluator)
         if config.num_envs % self.n_dev:
             raise ValueError("num_envs must divide the actor axis size")
         if config.batch_size % self.n_dev:
@@ -91,6 +93,10 @@ class ShardedTrainer(Trainer):
             self.buffer = buffer.with_num_envs(self.local_envs)
         # the learner's gradients ride a psum over the actors axis
         agent.axis_name = axis
+
+    def _nstep_expected_stride(self) -> int:
+        # per-device replay shards receive local_envs-wide lockstep pushes
+        return self.config.num_envs // self.n_dev
 
     # ------------------------------------------------------------------
     # sharded state init

@@ -197,6 +197,13 @@ class ReplayBuffer:
         return self.push(state, transition)
 
     def fill(self, state: ReplayBufferState) -> jax.Array:
+        """Sampleable transitions — for n-step buffers only positions whose
+        whole window is written count (matches ``sample``'s draw range
+        ``d ∈ [(n−1)·stride, size)``), so warmup cannot pass while samples
+        would land on unwritten zero slots."""
+        if self.n_step > 1:
+            lo = (self.n_step - 1) * self.stride
+            return jnp.maximum(state.size - lo, 0)
         return state.size
 
     # -- sampling (≙ ReplayBufferBase::batch, base.rs:376-402) -------------
@@ -214,6 +221,11 @@ class ReplayBuffer:
                 lo = (self.n_step - 1) * self.stride
                 hi = jnp.maximum(state.size, lo + 1)
                 d = jax.random.randint(key, (batch_size,), lo, hi)
+                # under-filled guard: clamp into the written region (the
+                # window validity mask in _nstep_batch shortens windows
+                # that would cross the oldest data); fill() keeps warmup
+                # from sampling at all until real windows exist
+                d = jnp.minimum(d, jnp.maximum(state.size - 1, 0))
                 idx = (state.cursor - 1 - d) % self.capacity
             else:
                 idx = jax.random.randint(

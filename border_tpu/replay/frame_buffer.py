@@ -182,7 +182,7 @@ class FrameReplayBuffer:
         idx = (s_k % self.capacity).astype(jnp.int32)
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = False  # XLA gather measured ~30× faster on v5e
+            use_pallas = False  # XLA gather ~7 % faster end-to-end on v5e
         if use_pallas:
             from border_tpu.ops import gather_frames
 

@@ -48,12 +48,19 @@ class HostEvaluator:
         self.n_episodes = n_episodes
         self.max_steps = max_steps
         self.base_seed = base_seed
+        self._agent = None
+        self._select = None
 
     def evaluate(self, agent: Agent, agent_state, eval_index: int = 0
                  ) -> Tuple[float, Record]:
         env = NativeVecEnv(self.env_name, self.n_episodes,
                            seed=self.base_seed + eval_index)
-        select = jax.jit(agent.select_action_eval)
+        # cache the jitted selector per agent: a fresh jax.jit wrapper per
+        # evaluation would retrace every time
+        if self._select is None or self._agent is not agent:
+            self._agent = agent
+            self._select = jax.jit(agent.select_action_eval)
+        select = self._select
         key = jax.random.PRNGKey(self.base_seed + eval_index)
         obs = env.reset()
         returns = np.zeros(self.n_episodes, np.float64)
@@ -110,6 +117,9 @@ class HostEnvTrainer:
         self.action_space = spaces.Discrete(self.env.num_actions)
         c = config
         self.updates_per_transition = c.n_updates_per_opt / c.opt_interval
+        from border_tpu.train.trainer import Trainer
+
+        Trainer._check_nstep_stride(buffer, c.num_envs)
 
     # -- jitted device programs -------------------------------------------
     @partial(jax.jit, static_argnums=0)

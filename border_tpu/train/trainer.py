@@ -93,18 +93,27 @@ class Trainer:
         ) * c.n_updates_per_opt
 
         # n-step ReplayBuffers must know the ring stride between a given
-        # env's consecutive transitions (= envs pushed per vec step)
+        # env's consecutive transitions (= envs pushed per vec step per
+        # device; ShardedTrainer overrides the expectation with its
+        # per-device env count)
+        self._check_nstep_stride(buffer, self._nstep_expected_stride())
+
+    def _nstep_expected_stride(self) -> int:
+        return self.config.num_envs
+
+    @staticmethod
+    def _check_nstep_stride(buffer, expected: int) -> None:
         if (
-            type(self) is Trainer
-            and isinstance(buffer, ReplayBuffer)
+            isinstance(buffer, ReplayBuffer)
             and buffer.n_step > 1
-            and buffer.stride != c.num_envs
+            and buffer.stride != expected
         ):
             from border_tpu.errors import ConfigError
 
             raise ConfigError(
                 f"n-step ReplayBuffer stride ({buffer.stride}) must equal "
-                f"num_envs ({c.num_envs}) for lockstep vec-env pushes"
+                f"the envs pushed per vec step ({expected}) — ring "
+                f"neighbors would belong to different envs otherwise"
             )
 
     # ------------------------------------------------------------------
@@ -248,11 +257,14 @@ class Trainer:
         next_save = c.save_interval if c.save_interval else None
         next_flush = c.flush_record_interval
 
+        # compute-cost cadence counter (restored on resume below)
+        next_cost = c.record_compute_cost_interval
+
         if resume_from is not None:
             tmpl_extra = {
                 "env_steps": 0, "opt_steps": 0, "best_score": 0.0,
                 "next_eval": 0, "next_save": 0, "next_flush": 0,
-                "next_ckpt": 0, "next_agent_info": 0,
+                "next_ckpt": 0, "next_agent_info": 0, "next_cost": 0,
             }
             restored = resume_from.restore(
                 agent_state, buffer_state, vec_state, key=k_loop,
@@ -271,8 +283,13 @@ class Trainer:
             next_flush = int(ex["next_flush"])
             self._next_ckpt = int(ex["next_ckpt"])
             self._next_agent_info = int(ex["next_agent_info"])
+            next_cost = int(ex["next_cost"])
 
         t0 = time.perf_counter()
+        # throughput rates cover only this invocation's work: counters may
+        # start non-zero after a resume
+        start_env_steps = env_steps
+        start_opt_steps = opt_steps
         chunk_i = 0
         # compute-cost accumulators (≙ timer_for_opt_steps/timer_for_samples,
         # border-core/src/trainer.rs:163-174, reported every
@@ -280,7 +297,6 @@ class Trainer:
         cost_time = 0.0
         cost_updates = 0
         cost_transitions = 0
-        next_cost = c.record_compute_cost_interval
 
         while opt_steps < c.max_opts:
             chunk_i += 1
@@ -390,6 +406,7 @@ class Trainer:
                         "next_flush": next_flush,
                         "next_ckpt": self._next_ckpt,
                         "next_agent_info": getattr(self, "_next_agent_info", 0),
+                        "next_cost": next_cost,
                     },
                 )
 
@@ -401,8 +418,8 @@ class Trainer:
             env_steps=env_steps,
             opt_steps=opt_steps,
             duration_sec=duration,
-            samples_per_sec=env_steps / duration,
-            opt_per_sec=opt_steps / duration,
+            samples_per_sec=(env_steps - start_env_steps) / duration,
+            opt_per_sec=(opt_steps - start_opt_steps) / duration,
             best_score=best_score,
             eval_history=eval_history,
         )

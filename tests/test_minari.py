@@ -155,3 +155,12 @@ def test_offline_iql_improves_over_behavior_policy():
     assert learned > behavior, (
         f"IQL normalized {learned:.1f} did not beat behavior {behavior:.1f}"
     )
+
+
+def test_local_corpus_preferred_over_installed_minari(stub_minari):
+    """A committed local corpus stays reachable even when the minari
+    package is importable (code-review r2 finding: load() previously fell
+    back to local only on ImportError)."""
+    md = MinariDataset.load("pendulum-medium-v0")
+    assert md.get_num_transitions() == 40_000
+    assert md.env_name == "Pendulum-v1"

@@ -205,3 +205,50 @@ class TestNStepReplayBuffer:
                      ReplayBuffer(256, n_step=3, stride=8), cfg)
         res = tr.train()
         assert res.opt_steps >= 2
+
+    def test_nstep_fill_respects_window_margin(self):
+        """fill() counts only positions whose whole n-step window is
+        written — warmup cannot pass while sampling would land on
+        unwritten slots (code-review r2 finding)."""
+        import jax.numpy as jnp
+
+        from border_tpu.replay import ReplayBuffer
+
+        buffer = ReplayBuffer(capacity=64, n_step=3, gamma=0.9, stride=4)
+        state = self._fill(buffer, [1.0] * 8, [False] * 8)  # 2 vec steps
+        assert int(buffer.fill(state)) == 0  # lo = 2*4 = 8 = size
+        state = self._fill(buffer, [1.0] * 12, [False] * 12)
+        assert int(buffer.fill(state)) == 4
+
+    def test_nstep_stride_validated_in_async_and_sharded(self):
+        import jax
+        import pytest
+
+        from border_tpu.agents import DQN, DQNConfig
+        from border_tpu.envs import make
+        from border_tpu.errors import ConfigError
+        from border_tpu.replay import ReplayBuffer
+        from border_tpu.train import AsyncTrainer, TrainerConfig
+
+        env = make("CartPole-v1")
+        cfg = TrainerConfig(num_envs=8, steps_per_chunk=4, batch_size=8,
+                            opt_interval=8, warmup_period=0, max_opts=2)
+        with pytest.raises(ConfigError):
+            AsyncTrainer(env, DQN(DQNConfig(hidden=(8,))),
+                         ReplayBuffer(256, n_step=2, stride=1), cfg)
+        if jax.device_count() >= 2:
+            from border_tpu.parallel import ShardedTrainer
+
+            n = jax.device_count()
+            cfg_s = TrainerConfig(num_envs=2 * n, steps_per_chunk=4,
+                                  batch_size=2 * n, opt_interval=8,
+                                  warmup_period=0, max_opts=2)
+            # global-stride buffer must be rejected: shards see local pushes
+            with pytest.raises(ConfigError):
+                ShardedTrainer(env, DQN(DQNConfig(hidden=(8,))),
+                               ReplayBuffer(256, n_step=2, stride=2 * n),
+                               cfg_s)
+            # per-device stride is accepted and trains
+            tr = ShardedTrainer(env, DQN(DQNConfig(hidden=(8,))),
+                                ReplayBuffer(256, n_step=2, stride=2), cfg_s)
+            assert tr.train().opt_steps >= 2
