@@ -2,7 +2,10 @@
 
 ≙ BASELINE.md target: env-steps/s at 1 chip / 1 host / N hosts with ≥80%
 efficiency.  Runs the sharded actor-learner chunk on meshes of growing size
-and reports per-size throughput + efficiency vs linear scaling.
+and reports per-size throughput + efficiency vs linear scaling
+(≙ the reference's AsyncTrainStat throughput reporting,
+border-async-trainer/src/async_trainer/stat.rs:1-27 — the reference itself
+never measures scaling; it has no multi-node backend, SURVEY.md §5.8).
 
 On a real pod slice this measures ICI scaling; on the virtual CPU mesh
 (XLA_FLAGS=--xla_force_host_platform_device_count=8) it validates the
@@ -10,10 +13,19 @@ sharded program's correctness and host-side overhead only.
 
 Usage:
     python benchmarks/scaling.py [--env CartPole-v1] [--chunks 10]
+    python benchmarks/scaling.py --config pixel          # Pong + CNN +
+        FrameReplayBuffer — the frame-scale sharded path
     python benchmarks/scaling.py --multiprocess 2        # N processes ×
         (devices/N) virtual CPU devices each, joined via
         jax.distributed.initialize + gloo — the multi-HOST measurement
         path (one process per host on a real pod; ≙ VERDICT r1 missing #2)
+    python benchmarks/scaling.py --out SCALING_r03.json --gate 0.8
+        # write the artifact and exit non-zero below 80% efficiency at the
+        # largest mesh (VERDICT r2 next #4)
+
+Import-safe: argument parsing and all jax initialization happen only under
+``__main__`` (pytest collection or tooling importing this module touches
+neither argv nor a backend).
 """
 
 import argparse
@@ -26,9 +38,12 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="CartPole-v1")
+    p.add_argument("--config", choices=["mlp", "pixel"], default="mlp",
+                   help="mlp: DQN+MLP on --env; pixel: DQN+AtariCNN on "
+                        "Pong with the frame-dedup replay")
     p.add_argument("--chunks", type=int, default=10)
     p.add_argument("--envs-per-dev", type=int, default=512)
     p.add_argument("--multiprocess", type=int, default=1,
@@ -36,12 +51,13 @@ def parse_args():
                         "(CPU: gloo backend; pods: one process per host)")
     p.add_argument("--devices", type=int, default=8,
                    help="total virtual CPU devices in --multiprocess mode")
+    p.add_argument("--out", default="", help="write results JSON here")
+    p.add_argument("--gate", type=float, default=0.0,
+                   help="exit non-zero if efficiency at the largest mesh "
+                        "size falls below this fraction")
     p.add_argument("--worker", type=int, default=-1, help=argparse.SUPPRESS)
     p.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
-    return p.parse_args()
-
-
-ARGS = parse_args()
+    return p.parse_args(argv)
 
 
 def launch_multiprocess(args):
@@ -60,123 +76,169 @@ def launch_multiprocess(args):
             [sys.executable, os.path.abspath(__file__),
              "--worker", str(i), "--multiprocess", str(args.multiprocess),
              "--port", str(port), "--devices", str(args.devices),
-             "--env", args.env, "--chunks", str(args.chunks),
+             "--env", args.env, "--config", args.config,
+             "--chunks", str(args.chunks),
              "--envs-per-dev", str(args.envs_per_dev)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
             env=env,
         )
         for i in range(args.multiprocess)
     ]
+    outputs = []
     for p in procs:
         out, _ = p.communicate(timeout=1200)
         if out.strip():
             print(out.strip())
+            outputs.append(out.strip().splitlines()[-1])
         assert p.returncode == 0, "worker failed"
+    return outputs
 
 
-if __name__ == "__main__" and ARGS.multiprocess > 1 and ARGS.worker < 0:
-    launch_multiprocess(ARGS)
-    sys.exit(0)
-
-# -- multiprocess bootstrap: must precede any jax backend touch -------------
-if ARGS.worker >= 0:
-    os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count="
-        f"{ARGS.devices // ARGS.multiprocess}"
-    )
+def _configure_jax():
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    from border_tpu.parallel import init_distributed
-
-    init_distributed(f"localhost:{ARGS.port}", ARGS.multiprocess, ARGS.worker)
-
-import jax  # noqa: E402
-
-# the ambient sitecustomize force-registers the TPU backend over
-# JAX_PLATFORMS; honor the env var programmatically so CPU-mesh sweeps
-# never claim the chip
-if ARGS.worker < 0 and os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-cache = (
-    "/root/repo/.jax_cache"
-    if jax.default_backend() not in ("cpu",)
-    else "/root/repo/.jax_cache_cpu"
-)
-os.makedirs(cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
-from border_tpu.agents import DQN, DQNConfig  # noqa: E402
-from border_tpu.envs import make  # noqa: E402
-from border_tpu.parallel import ShardedTrainer, make_mesh  # noqa: E402
-from border_tpu.replay import ReplayBuffer  # noqa: E402
-from border_tpu.train import TrainerConfig  # noqa: E402
-
-
-def measure(n_dev: int, env_name: str, chunks: int, envs_per_dev: int) -> float:
-    mesh = make_mesh(("actors",), devices=jax.devices()[:n_dev])
-    env = make(env_name)
-    agent = DQN(DQNConfig(double_dqn=True))
-    cfg = TrainerConfig(
-        num_envs=envs_per_dev * n_dev,
-        steps_per_chunk=64,
-        batch_size=256 * n_dev,
-        opt_interval=256,
-        warmup_period=0,
-        max_opts=10**9,
+    # the ambient sitecustomize force-registers the TPU backend over
+    # JAX_PLATFORMS; honor the env var programmatically so CPU-mesh sweeps
+    # never claim the chip
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    cache = (
+        "/root/repo/.jax_cache"
+        if jax.default_backend() not in ("cpu",)
+        else "/root/repo/.jax_cache_cpu"
     )
-    tr = ShardedTrainer(env, agent, ReplayBuffer(capacity=16_384), cfg, mesh=mesh)
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return jax
+
+
+def measure(n_dev: int, args) -> float:
+    import jax
+
+    from border_tpu.agents import DQN, DQNConfig
+    from border_tpu.envs import make
+    from border_tpu.parallel import ShardedTrainer, make_mesh
+    from border_tpu.replay import FrameReplayBuffer, ReplayBuffer
+    from border_tpu.train import TrainerConfig
+
+    mesh = make_mesh(("actors",), devices=jax.devices()[:n_dev])
+    if args.config == "pixel":
+        from border_tpu.models import AtariCNN
+
+        env = make("Pong-v0")
+        agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n),
+                              double_dqn=True, lr=1e-4))
+        envs_per_dev = min(args.envs_per_dev, 128)
+        num_envs = envs_per_dev * n_dev
+        buffer = FrameReplayBuffer(capacity=128, num_envs=num_envs)
+        cfg = TrainerConfig(
+            num_envs=num_envs, steps_per_chunk=16,
+            batch_size=64 * n_dev, opt_interval=256,
+            warmup_period=0, max_opts=10**9,
+        )
+    else:
+        env = make(args.env)
+        agent = DQN(DQNConfig(double_dqn=True))
+        buffer = ReplayBuffer(capacity=16_384)
+        cfg = TrainerConfig(
+            num_envs=args.envs_per_dev * n_dev,
+            steps_per_chunk=64,
+            batch_size=256 * n_dev,
+            opt_interval=256,
+            warmup_period=0,
+            max_opts=10**9,
+        )
+    tr = ShardedTrainer(env, agent, buffer, cfg, mesh=mesh)
     key = jax.random.PRNGKey(0)
     agent_state, vec_state, buf_state = tr.init_states(key, key)
     out = tr._chunk(agent_state, vec_state, buf_state, key, True)
     jax.block_until_ready(out[0])
     agent_state, vec_state, buf_state = out[0], out[1], out[2]
     t0 = time.perf_counter()
-    for _ in range(chunks):
+    for _ in range(args.chunks):
         key, k = jax.random.split(key)
         out = tr._chunk(agent_state, vec_state, buf_state, k, True)
         agent_state, vec_state, buf_state = out[0], out[1], out[2]
+    # honest sync: device_get a leaf (axon dispatch is deeply async —
+    # see bench.py timing methodology)
+    jax.device_get(jax.tree.leaves(agent_state)[0])
     jax.block_until_ready(agent_state)
     dt = time.perf_counter() - t0
-    return chunks * cfg.steps_per_chunk * cfg.num_envs / dt
+    return args.chunks * cfg.steps_per_chunk * cfg.num_envs / dt
 
 
 def run_worker(args):
     """One process of the multi-process measurement: the whole global mesh
     runs one sharded program; process 0 reports."""
-    eps = measure(jax.device_count(), args.env, args.chunks, args.envs_per_dev)
+    import jax
+
+    eps = measure(jax.device_count(), args)
     if jax.process_index() == 0:
         print(json.dumps({
             "metric": "scaling_multiprocess",
             "env": args.env,
+            "config": args.config,
             "processes": jax.process_count(),
             "global_devices": jax.device_count(),
             "env_steps_per_sec": round(eps),
         }))
 
 
-def main():
-    args = ARGS
-    if args.worker >= 0:
-        run_worker(args)
-        return
+def main(args):
+    import jax
 
     n_total = jax.device_count()
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
     results = {}
     base = None
     for n in sizes:
-        eps = measure(n, args.env, args.chunks, args.envs_per_dev)
+        eps = measure(n, args)
         if base is None:
             base = eps
         eff = eps / (base * n)
-        results[str(n)] = {"env_steps_per_sec": round(eps), "efficiency": round(eff, 3)}
-        print(f"devices={n:>2}  {eps:>14,.0f} env-steps/s  efficiency={eff:.1%}")
-    print(json.dumps({"metric": "scaling", "env": args.env, "results": results}))
+        results[str(n)] = {"env_steps_per_sec": round(eps),
+                           "efficiency": round(eff, 3)}
+        print(f"devices={n:>2}  {eps:>14,.0f} env-steps/s  "
+              f"efficiency={eff:.1%}")
+    payload = {"metric": "scaling", "env": args.env, "config": args.config,
+               "platform": jax.default_backend(),
+               "devices_available": n_total, "results": results}
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+    if args.gate:
+        eff_last = results[str(sizes[-1])]["efficiency"]
+        if eff_last < args.gate:
+            print(f"GATE FAIL: efficiency {eff_last:.1%} < {args.gate:.0%} "
+                  f"at {sizes[-1]} devices", file=sys.stderr)
+            return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    ARGS = parse_args()
+    if ARGS.multiprocess > 1 and ARGS.worker < 0:
+        launch_multiprocess(ARGS)
+        sys.exit(0)
+    if ARGS.worker >= 0:
+        # multiprocess bootstrap: must precede any jax backend touch
+        os.environ["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count="
+            f"{ARGS.devices // ARGS.multiprocess}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from border_tpu.parallel import init_distributed
+
+        init_distributed(
+            f"localhost:{ARGS.port}", ARGS.multiprocess, ARGS.worker
+        )
+        _configure_jax()
+        run_worker(ARGS)
+        sys.exit(0)
+    _configure_jax()
+    sys.exit(main(ARGS))

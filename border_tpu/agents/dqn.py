@@ -63,7 +63,12 @@ class DQNConfig:
     # model
     hidden: Sequence[int] = (64, 64)
     model: Any = None  # optional custom flax module factory (e.g. AtariCNN)
-    clip_reward: Optional[float] = None  # sign-clip handled env-side for Atari
+    # Clip PER-TRANSITION rewards to [-c, c] at update time.  Only valid
+    # with 1-step buffers: an n-step batch's reward is the accumulated
+    # return, and clipping the sum diverges from canonical n-step DQN
+    # (which clips each r_k before accumulation) — the Trainer rejects the
+    # combination (sign-clip env-side instead, as the Atari envs do).
+    clip_reward: Optional[float] = None
 
 
 @struct.dataclass

@@ -102,10 +102,21 @@ class MinariDataset:
     def load(cls, dataset_id: str,
              converter: Optional[MinariConverter] = None) -> "MinariDataset":
         """Resolve ``dataset_id``: the local committed-corpus registry
-        first (always reachable, even with the minari package installed),
-        then the Minari package when importable."""
+        first (always reachable, even with the minari package installed —
+        a committed corpus therefore *shadows* any same-id dataset the
+        minari package could serve), then the Minari package when
+        importable.  Local corpora are stored post-conversion, so a
+        ``converter`` argument only applies on the package path."""
         npz = os.path.join(LOCAL_DATASET_DIR, f"{dataset_id}.npz")
         if os.path.exists(npz):
+            if converter is not None:
+                import warnings
+
+                warnings.warn(
+                    f"{dataset_id!r} resolves to the local committed corpus,"
+                    " which is stored post-conversion — the converter"
+                    " argument is ignored", stacklevel=2,
+                )
             return cls._from_local(dataset_id)
         try:
             import minari  # type: ignore

@@ -45,7 +45,9 @@ class GSPMDTrainer(Trainer):
     """Trainer whose states carry dp×tp NamedShardings.
 
     Parameter rule (column-parallel): any kernel with ≥2 dims shards its
-    LAST axis over ``model`` when divisible; matching biases shard too.
+    LAST axis over ``model`` when divisible; 1-D leaves (biases, scales)
+    stay replicated — they are tiny, and XLA re-shards them at the fused
+    matmul+bias site anyway.
     Env state shards its leading (env) axis over ``actors``; replay
     storage stays replicated (random gathers are cheapest against a local
     copy at these sizes).

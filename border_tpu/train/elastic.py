@@ -51,9 +51,13 @@ def run_elastic(
     restarts = 0
     while True:
         mgr = CheckpointManager(checkpoint_dir, max_to_keep=max_to_keep)
-        trainer = make_trainer(mgr)
-        resume = mgr if mgr.latest_step() is not None else None
         try:
+            # trainer construction stays under supervision: wiring a
+            # checkpoint manager against a corrupt/partial checkpoint dir —
+            # exactly the post-crash scenario — must count toward
+            # max_restarts too
+            trainer = make_trainer(mgr)
+            resume = mgr if mgr.latest_step() is not None else None
             result = trainer.train(resume_from=resume)
             if restarts:
                 log.info("elastic: completed after %d restart(s)", restarts)

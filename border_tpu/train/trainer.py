@@ -97,9 +97,30 @@ class Trainer:
         # device; ShardedTrainer overrides the expectation with its
         # per-device env count)
         self._check_nstep_stride(buffer, self._nstep_expected_stride())
+        self._check_nstep_clip(agent, buffer)
 
     def _nstep_expected_stride(self) -> int:
         return self.config.num_envs
+
+    @staticmethod
+    def _check_nstep_clip(agent, buffer) -> None:
+        """clip_reward clips per-transition rewards; an n-step buffer's
+        sampled reward is already the accumulated return, so clipping it
+        would compute a different target than canonical n-step DQN (which
+        clips each r_k before accumulation).  Reject the combination —
+        clip at the env (sign-clip, envs/pixel.py) instead."""
+        cfg = getattr(agent, "config", None)
+        if (
+            getattr(cfg, "clip_reward", None) is not None
+            and getattr(buffer, "n_step", 1) > 1
+        ):
+            from border_tpu.errors import ConfigError
+
+            raise ConfigError(
+                "clip_reward with an n-step (n>1) replay buffer would clip "
+                "the accumulated n-step return, not per-step rewards; "
+                "clip rewards env-side instead"
+            )
 
     @staticmethod
     def _check_nstep_stride(buffer, expected: int) -> None:
@@ -196,6 +217,23 @@ class Trainer:
             metrics = {}
         return agent_state, vec_state, buf_state, metrics, ep_ret, ep_cnt
 
+    def _dispatch(self, agent_state, vec_state, buffer_state, key, warmed):
+        """One loop iteration's device work.  The base trainer runs the
+        fused actor+learner chunk with the SAME params; AsyncTrainer
+        overrides this with decoupled actor/learner phases (stale actor
+        params refreshed every ``sync_interval``) while inheriting every
+        cadence (eval, save, checkpoint/resume, compute-cost records)
+        from :meth:`train` unchanged."""
+        return self._chunk(agent_state, vec_state, buffer_state, key, warmed)
+
+    # subclass checkpoint hooks: extra state that must survive a kill for
+    # resume to be bit-exact (AsyncTrainer adds its stale actor params)
+    def _checkpoint_extra(self, agent_state) -> dict:
+        return {}
+
+    def _restore_checkpoint_extra(self, ex: dict) -> None:
+        pass
+
     # ------------------------------------------------------------------
     # state construction (overridden by ShardedTrainer for sharded init)
     # ------------------------------------------------------------------
@@ -265,6 +303,7 @@ class Trainer:
                 "env_steps": 0, "opt_steps": 0, "best_score": 0.0,
                 "next_eval": 0, "next_save": 0, "next_flush": 0,
                 "next_ckpt": 0, "next_agent_info": 0, "next_cost": 0,
+                **self._checkpoint_extra(agent_state),
             }
             restored = resume_from.restore(
                 agent_state, buffer_state, vec_state, key=k_loop,
@@ -284,6 +323,7 @@ class Trainer:
             self._next_ckpt = int(ex["next_ckpt"])
             self._next_agent_info = int(ex["next_agent_info"])
             next_cost = int(ex["next_cost"])
+            self._restore_checkpoint_extra(ex)
 
         t0 = time.perf_counter()
         # throughput rates cover only this invocation's work: counters may
@@ -306,7 +346,7 @@ class Trainer:
             )
             t_chunk = time.perf_counter()
             agent_state, vec_state, buffer_state, metrics, ep_ret, ep_cnt = (
-                self._chunk(agent_state, vec_state, buffer_state, k_chunk, warmed)
+                self._dispatch(agent_state, vec_state, buffer_state, k_chunk, warmed)
             )
             jax.block_until_ready(agent_state)
             dt = time.perf_counter() - t_chunk
@@ -407,6 +447,7 @@ class Trainer:
                         "next_ckpt": self._next_ckpt,
                         "next_agent_info": getattr(self, "_next_agent_info", 0),
                         "next_cost": next_cost,
+                        **self._checkpoint_extra(agent_state),
                     },
                 )
 
