@@ -23,9 +23,20 @@ masks it with ``γ·(1−terminated)`` (dqn/base.rs:91-105 uses only
 is_terminated).  Truncated-boundary next stacks are approximated by the
 reset frame (rare: one transition per 27k-frame cap).
 
-Uniform sampling only (the reference's Atari configs also run PER-less:
-``per_config: None``); samples are drawn from absolute steps
+Sampling is uniform by default (the reference's Atari configs also run
+PER-less: ``per_config: None``); samples are drawn from absolute steps
 ``[total − size + 4, total − 1)`` so every gathered window is resident.
+
+Optional PER (``per=PerConfig()``): a device sum tree
+(border_tpu.replay.sum_tree, ≙ sum_tree.rs:21-174) over the
+``num_envs × capacity`` (env × slot) leaf space.  Residency is encoded as
+priority: a slot enters the tree (at the running max priority,
+≙ sum_tree.rs add) only once its full sample window exists — frame stack
+behind it, ``n_step`` successors ahead — and every push zeroes the slots
+whose windows the new write invalidates (the overwritten slot and the
+``stack−1`` slots after it, whose stacks would cross the overwrite
+point).  The prefix-sum descent therefore never lands on a non-resident
+transition, with no rejection step.
 
 Performance note: ``sample`` is designed to run INSIDE a jit-fused
 training loop (the Trainer's update scan), where XLA fuses the frame
@@ -43,7 +54,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from border_tpu.replay.buffer import TransitionBatch
+from border_tpu.replay.buffer import PerConfig, TransitionBatch
+from border_tpu.replay.sum_tree import SumTree, SumTreeState
 
 
 @struct.dataclass
@@ -61,6 +73,7 @@ class FrameReplayState:
     truncated: jax.Array  # [N, cap] bool
     age: jax.Array  # [N, cap] int32 — step index within the episode
     total: jax.Array  # scalar int32: absolute steps pushed per env
+    tree: Optional[SumTreeState] = None  # PER over (env × slot) leaves
 
 
 class FrameReplayBuffer:
@@ -68,8 +81,6 @@ class FrameReplayBuffer:
 
     ``capacity`` is per-env (global capacity = num_envs × capacity).
     """
-
-    per = None  # uniform only
 
     def __init__(
         self,
@@ -80,6 +91,7 @@ class FrameReplayBuffer:
         n_step: int = 1,
         gamma: float = 0.99,
         use_pallas: Optional[Any] = None,
+        per: Optional[PerConfig] = None,
     ):
         """``n_step > 1`` enables n-step backups: sampled batches carry
         ``reward = Σ γ^k r_{t+k}`` (stopped at the first episode boundary),
@@ -99,6 +111,21 @@ class FrameReplayBuffer:
         self.n_step = n_step
         self.gamma = gamma
         self.use_pallas = use_pallas
+        self.per = per
+        self.tree = SumTree(num_envs * capacity) if per is not None else None
+        if self.tree is not None:
+            if self.tree.capacity != num_envs * capacity:
+                raise ValueError(
+                    "PER requires num_envs × capacity to be a power of two "
+                    f"(got {num_envs * capacity}; next is {self.tree.capacity})"
+                )
+            if capacity <= stack + n_step:
+                # also keeps the per-push activation slot (p − n_step) from
+                # colliding with the invalidation slots (p .. p+stack−1)
+                raise ValueError(
+                    "PER needs capacity > stack + n_step "
+                    f"(got {capacity} ≤ {stack} + {n_step})"
+                )
         # tile-aligned flat frame layout (see FrameReplayState.frames)
         hw = frame_hw[0] * frame_hw[1]
         rows = -(-hw // 128)  # ceil
@@ -118,6 +145,7 @@ class FrameReplayBuffer:
             n_step=self.n_step,
             gamma=self.gamma,
             use_pallas=self.use_pallas,
+            per=self.per,
         )
 
     def init(self, example=None) -> FrameReplayState:
@@ -130,6 +158,7 @@ class FrameReplayBuffer:
             truncated=jnp.zeros((n, cap), bool),
             age=jnp.zeros((n, cap), jnp.int32),
             total=jnp.int32(0),
+            tree=self.tree.init() if self.tree is not None else None,
         )
 
     # -- ingest (step-processor + push fused; ≙ SimpleStepProcessor,
@@ -147,6 +176,9 @@ class FrameReplayBuffer:
         frame = prev_obs[..., -1].reshape(self.num_envs, -1)
         frame = jnp.pad(frame, ((0, 0), (0, self.frame_pad)))
         frame = frame.reshape(self.num_envs, self.frame_rows, 128)
+        tree = state.tree
+        if self.tree is not None:
+            tree = self._tree_push(state, p)
         return state.replace(
             frames=state.frames.at[:, p].set(frame),
             act=state.act.at[:, p].set(action.astype(jnp.int32)),
@@ -155,7 +187,35 @@ class FrameReplayBuffer:
             truncated=state.truncated.at[:, p].set(ts.truncated),
             age=state.age.at[:, p].set(prev_ep_len.astype(jnp.int32)),
             total=state.total + 1,
+            tree=tree,
         )
+
+    def _tree_push(self, state: FrameReplayState, p) -> SumTreeState:
+        """Per-push PER residency maintenance, one batched tree update:
+
+        - zero slots ``p .. p+stack−1`` for every env: ``p`` holds the new
+          (still windowless) step, and the stacks of the ``stack−1`` slots
+          after it now cross the overwrite point,
+        - activate step ``total − n_step`` (its whole window just became
+          resident) at the running max priority — ≙ SumTree::add's
+          max-priority insertion (sum_tree.rs).
+        """
+        cap = self.capacity
+        env_base = jnp.arange(self.num_envs, dtype=jnp.int32)[:, None] * cap
+        kill = (p + jnp.arange(self.stack, dtype=jnp.int32)[None, :]) % cap
+        kill_g = (env_base + kill).reshape(-1)  # [N·stack]
+        s_act = state.total - self.n_step  # newest fully-windowed step
+        act_g = (env_base[:, 0] + (s_act % cap)).astype(jnp.int32)  # [N]
+        # the first `stack` steps of the run stay out, matching the uniform
+        # draw range lo = total − size + stack
+        act_p = jnp.where(
+            s_act >= self.stack, state.tree.max_priority, 0.0
+        ) * jnp.ones((self.num_envs,), jnp.float32)
+        indices = jnp.concatenate([kill_g, act_g])
+        priorities = jnp.concatenate(
+            [jnp.zeros_like(kill_g, jnp.float32), act_p]
+        )
+        return self.tree.update(state.tree, indices, priorities)
 
     @property
     def size_attr(self):
@@ -208,11 +268,27 @@ class FrameReplayBuffer:
         n_opts: Optional[jax.Array] = None,
     ) -> TransitionBatch:
         size = jnp.minimum(state.total, self.capacity)
-        k_e, k_s = jax.random.split(key)
-        e = jax.random.randint(k_e, (batch_size,), 0, self.num_envs)
-        lo = state.total - size + self.stack
-        hi = jnp.maximum(state.total - self.n_step, lo + 1)
-        s = jax.random.randint(k_s, (batch_size,), lo, hi)
+        if self.per is not None:
+            # prioritized draw over (env × slot) leaves; residency is
+            # guaranteed by the zero-priority maintenance in _tree_push
+            g = self.tree.sample(state.tree, key, batch_size)
+            e = (g // self.capacity).astype(jnp.int32)
+            p_leaf = (g % self.capacity).astype(jnp.int32)
+            # most recent absolute step congruent to this slot
+            s = (state.total - 1) - ((state.total - 1 - p_leaf) % self.capacity)
+            beta = self.per.beta(
+                n_opts if n_opts is not None else jnp.int32(0)
+            )
+            weight = self.tree.weights(
+                state.tree, g, self.fill(state), beta, self.per.normalize_all
+            )
+        else:
+            k_e, k_s = jax.random.split(key)
+            e = jax.random.randint(k_e, (batch_size,), 0, self.num_envs)
+            lo = state.total - size + self.stack
+            hi = jnp.maximum(state.total - self.n_step, lo + 1)
+            s = jax.random.randint(k_s, (batch_size,), lo, hi)
+            weight = jnp.ones((batch_size,), jnp.float32)
 
         p = (s % self.capacity).astype(jnp.int32)
         ages = state.age[e, p]
@@ -227,7 +303,7 @@ class FrameReplayBuffer:
                 reward=state.reward[e, p],
                 terminated=state.terminated[e, p],
                 truncated=state.truncated[e, p],
-                weight=jnp.ones((batch_size,), jnp.float32),
+                weight=weight,
                 ix_sample=e * self.capacity + p,
             )
 
@@ -253,13 +329,20 @@ class FrameReplayBuffer:
             reward=reward_n,
             terminated=state.terminated[e, p_last],
             truncated=state.truncated[e, p_last],
-            weight=jnp.ones((batch_size,), jnp.float32),
+            weight=weight,
             ix_sample=e * self.capacity + p,
             discount=self.gamma ** m.astype(jnp.float32),
         )
 
     def update_priority(self, state, ix_sample, td_err):
-        return state  # uniform only
+        """|td|^α priority feedback (≙ update_priority, base.rs:413-426);
+        no-op when uniform."""
+        if self.per is None:
+            return state
+        p = (jnp.abs(td_err) + self.per.eps) ** self.per.alpha
+        return state.replace(
+            tree=self.tree.update(state.tree, ix_sample, p)
+        )
 
     def diagnostics(self, state: FrameReplayState):
         size = jnp.minimum(state.total, self.capacity)

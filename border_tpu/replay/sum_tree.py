@@ -61,10 +61,20 @@ class SumTree:
 
         Handles duplicate indices correctly: each level recomputes parents
         from both children (idempotent), rather than adding deltas.
+
+        A zero priority marks a DEAD leaf (used by FrameReplayBuffer's
+        residency maintenance): it gets no sampling mass and is excluded
+        from the min tree (entered as +inf, like an unwritten leaf) so it
+        cannot distort the normalize-over-All importance-weight maximum.
+        Live priorities are always > 0 ((|td|+eps)^α and the max-priority
+        insertions), so the encoding is unambiguous.
         """
+        priorities = priorities.astype(jnp.float32)
         leaves = indices + self.capacity
-        sum_t = state.sum_tree.at[leaves].set(priorities.astype(jnp.float32))
-        min_t = state.min_tree.at[leaves].set(priorities.astype(jnp.float32))
+        sum_t = state.sum_tree.at[leaves].set(priorities)
+        min_t = state.min_tree.at[leaves].set(
+            jnp.where(priorities > 0, priorities, jnp.inf)
+        )
 
         def level(carry, _):
             sum_t, min_t, nodes = carry
