@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -42,7 +44,8 @@ ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 # Pendulum-v1 solved band, Pong ≥18 (BASELINE.md north star), Seaquest
 # re-implemented game band (asserts the agent genuinely learns).
 TARGETS = {"cartpole": 200.0, "pendulum": -200.0, "pong": 18.0,
-           "seaquest": 200.0, "breakout": 100.0, "freeway": 30.0}
+           "seaquest": 200.0, "breakout": 100.0, "freeway": 30.0,
+           "pong_host": 18.0}
 
 
 def _build(config: str, seed: int):
@@ -125,18 +128,40 @@ def _build(config: str, seed: int):
         evaluator = Evaluator(make("Freeway-v0", train=False), n_episodes=5,
                               max_steps=2_100)
         meta = {"env": "Freeway-v0", "agent": "DQN+AtariCNN"}
+    elif config == "pong_host":
+        # the reference's actual Atari architecture at pixel scale: 84×84
+        # uint8 frames from the host C++ envpool → device learner with
+        # frame-only uploads + device stack ring (VERDICT r2 next #2).
+        # Replay: 256 × 1024 = 262,144 transitions — the reference's own
+        # async-Atari replay size (dqn_atari_async_tch/src/config.rs:59-65).
+        from border_tpu.train import HostEnvTrainer, HostEvaluator
+
+        agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                              double_dqn=True, soft_update_interval=2_000,
+                              tau=1.0, eps_final_step=1_000_000))
+        cfg = TrainerConfig(max_opts=40_000, warmup_period=50_000,
+                            opt_interval=64, batch_size=512, num_envs=256,
+                            steps_per_chunk=32, eval_interval=2_000,
+                            seed=seed)
+        buffer = FrameReplayBuffer(capacity=1_024, num_envs=256)
+        evaluator = HostEvaluator("Pong-v0", n_episodes=5, max_steps=3_000)
+        meta = {"env": "Pong-v0 (host C++ envpool)",
+                "agent": "DQN+AtariCNN",
+                "trainer": "HostEnvTrainer"}
+        return "Pong-v0", agent, buffer, cfg, evaluator, meta
     else:
         raise KeyError(config)
     return env, agent, buffer, cfg, evaluator, meta
 
 
 def run(config: str, seed: int, out: str) -> float:
+    from border_tpu.record import BufferedRecorder
     from border_tpu.train import Trainer
 
     env, agent, buffer, cfg, evaluator, meta = _build(config, seed)
-    import dataclasses
 
     curve = []
+    extra = {}
     t0 = time.perf_counter()
 
     def on_eval(opt_steps, env_steps, score, best):
@@ -149,15 +174,33 @@ def run(config: str, seed: int, out: str) -> float:
               flush=True)
         with open(out, "w") as f:
             json.dump({
-                **meta, "target": TARGETS[config], "seed": seed,
+                **meta, **extra, "target": TARGETS[config], "seed": seed,
                 "config": {"max_opts": cfg.max_opts, "num_envs": cfg.num_envs,
                            "batch_size": cfg.batch_size,
                            "opt_interval": cfg.opt_interval},
                 "curve": curve,
             }, f, indent=1)
 
-    result = Trainer(env, agent, buffer, cfg, evaluator=evaluator,
-                     eval_callback=on_eval).train()
+    if meta.get("trainer") == "HostEnvTrainer":
+        from border_tpu.train import HostEnvTrainer
+
+        rec = BufferedRecorder()
+        trainer = HostEnvTrainer(env, agent, buffer, cfg, recorder=rec,
+                                 evaluator=evaluator, eval_callback=on_eval)
+        result = trainer.train()
+        # committed evidence of the host/device overlap at 256+ envs
+        waits = [v for r in rec.records for k, v in r
+                 if k == "host_wait_frac"]
+        if waits:
+            extra["host_wait_frac_mean"] = round(float(np.mean(waits)), 4)
+            extra["host_wait_frac_last"] = round(float(waits[-1]), 4)
+            on_eval(result.opt_steps, result.env_steps,
+                    curve[-1]["eval_return"] if curve else float("nan"),
+                    result.best_score)
+        trainer.env.close()
+    else:
+        result = Trainer(env, agent, buffer, cfg, evaluator=evaluator,
+                         eval_callback=on_eval).train()
     print(f"{config}: best={result.best_score:.1f} "
           f"samples/s={result.samples_per_sec:,.0f} "
           f"duration={result.duration_sec:.0f}s")
@@ -168,7 +211,7 @@ def assemble(out: str) -> None:
     """Merge per-config curve artifacts into one learning-evidence file."""
     merged = {}
     for name in ("cartpole", "pendulum", "pong", "seaquest",
-                 "breakout", "freeway"):
+                 "breakout", "freeway", "pong_host"):
         path = os.path.join(ARTIFACTS, f"{name}_curve.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -184,7 +227,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("config", choices=["cartpole", "pendulum", "pong",
                                       "seaquest", "breakout", "freeway",
-                                      "assemble"])
+                                      "pong_host", "assemble"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
     args = p.parse_args()

@@ -19,4 +19,5 @@ from border_tpu.envs.classic_control import (  # noqa: F401
     MountainCarContinuous,
     Pendulum,
 )
+from border_tpu.envs.py_env import PyVecEnv  # noqa: F401
 from border_tpu.envs.registry import make, register, registry  # noqa: F401

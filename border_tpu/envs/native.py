@@ -30,7 +30,14 @@ import numpy as np
 _CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
 _LIB_PATH = os.path.join(_CPP_DIR, "libenvpool.so")
 
-ENV_IDS = {"CartPole-v1": 0, "Pendulum-v1": 1}
+# (name, train) → C++ env id.  Pong is the 84×84 uint8 pixel game (the
+# C++ twin of envs/pong.py with the DQN preprocessing stack inline); its
+# train/eval variants flip reward sign-clipping (≙ env/config.rs:1-94).
+ENV_IDS = {
+    ("CartPole-v1", True): 0, ("CartPole-v1", False): 0,
+    ("Pendulum-v1", True): 1, ("Pendulum-v1", False): 1,
+    ("Pong-v0", True): 2, ("Pong-v0", False): 3,
+}
 
 
 def _load_lib() -> ctypes.CDLL:
@@ -43,6 +50,8 @@ def _load_lib() -> ctypes.CDLL:
     ]
     lib.envpool_obs_dim.restype = ctypes.c_int
     lib.envpool_obs_dim.argtypes = [ctypes.c_void_p]
+    lib.envpool_obs_dtype.restype = ctypes.c_int
+    lib.envpool_obs_dtype.argtypes = [ctypes.c_void_p]
     lib.envpool_num_actions.restype = ctypes.c_int
     lib.envpool_num_actions.argtypes = [ctypes.c_void_p]
     lib.envpool_reset.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
@@ -70,26 +79,52 @@ class NativeVecEnv:
     """N C++ envs stepped in lockstep with auto-reset (host side)."""
 
     def __init__(self, env_name: str, num_envs: int, seed: int = 0,
-                 n_threads: Optional[int] = None):
+                 n_threads: Optional[int] = None, train: bool = True):
         if not native_available():
             raise RuntimeError("cpp/libenvpool.so could not be built/loaded")
-        if env_name not in ENV_IDS:
-            raise KeyError(f"native env {env_name!r} not in {sorted(ENV_IDS)}")
+        if (env_name, train) not in ENV_IDS:
+            names = sorted({k[0] for k in ENV_IDS})
+            raise KeyError(f"native env {env_name!r} not in {names}")
         if n_threads is None:
             n_threads = min(os.cpu_count() or 1, 8)
         self._h = _lib.envpool_create(
-            ENV_IDS[env_name], num_envs, seed, n_threads
+            ENV_IDS[(env_name, train)], num_envs, seed, n_threads
         )
         if not self._h:
             raise RuntimeError("envpool_create failed")
         self.num_envs = num_envs
         self.obs_dim = _lib.envpool_obs_dim(self._h)
         self.num_actions = _lib.envpool_num_actions(self._h)
-        self._obs = np.zeros((num_envs, self.obs_dim), np.float32)
-        self._final_obs = np.zeros((num_envs, self.obs_dim), np.float32)
+        # uint8 envs are 84×84 stack-4 pixel frames, channels-last (the
+        # PixelEnv observation layout); f32 envs are flat feature vectors
+        if _lib.envpool_obs_dtype(self._h) == 1:
+            self.obs_shape = (84, 84, 4)
+            self.obs_dtype = np.uint8
+            assert self.obs_dim == 84 * 84 * 4
+        else:
+            self.obs_shape = (self.obs_dim,)
+            self.obs_dtype = np.float32
+        shape = (num_envs,) + self.obs_shape
+        self._obs = np.zeros(shape, self.obs_dtype)
+        self._final_obs = np.zeros(shape, self.obs_dtype)
         self._rew = np.zeros((num_envs,), np.float32)
         self._term = np.zeros((num_envs,), np.uint8)
         self._trunc = np.zeros((num_envs,), np.uint8)
+
+    @property
+    def observation_space(self):
+        from border_tpu.core import spaces
+        import jax.numpy as jnp
+
+        if self.obs_dtype == np.uint8:
+            return spaces.Box(0, 255, self.obs_shape, jnp.uint8)
+        return spaces.Box(-np.inf, np.inf, self.obs_shape, jnp.float32)
+
+    @property
+    def action_space(self):
+        from border_tpu.core import spaces
+
+        return spaces.Discrete(self.num_actions)
 
     def reset(self) -> np.ndarray:
         _lib.envpool_reset(self._h, self._obs.ctypes.data)

@@ -1,50 +1,82 @@
-"""Host-native env → device learner training loop.
+"""Host env → device learner training loop.
 
 ≙ the reference's entire Atari architecture: C++ envs stepped by host
 threads (border-atari-env/src/atari_env/ale.rs:62-100 behind the actor
 thread pool, border-async-trainer/src/actor/base.rs:120-178) feeding a
-device learner.  Here the host side is :class:`NativeVecEnv` (C++
-worker-thread envpool) behind :class:`AsyncEnvFeeder`, and the device side
-is the same jitted act/push/sample/update programs the fused Trainer uses.
+device learner.  The host side is any vectorized host env exposing the
+``NativeVecEnv`` interface — the C++ envpool (``border_tpu.envs.native``),
+or arbitrary external Gymnasium envs (``border_tpu.envs.py_env.PyVecEnv``,
+≙ border-py-gym-env's training path, base.rs:268-340) — behind
+:class:`AsyncEnvFeeder`; the device side is the same jitted
+act/push/sample/update programs the fused Trainer uses.
 
 Pipelining (the channel analogue, SURVEY.md §2.1 "host-side C++ vectorized
-ALE feeding the device via double-buffered transfers"): while the C++ pool
+ALE feeding the device via double-buffered transfers"): while the host pool
 steps the envs with the actions of iteration *t*, the device runs iteration
 *t*'s update burst — host env time hides behind device compute.  The loop
 reports ``host_wait_frac`` (fraction of wall time blocked on the env
 results) so the overlap is measurable, alongside the reference's throughput
 records (samples_per_sec / opt_steps_per_sec,
 border-async-trainer/src/async_trainer/stat.rs:1-27).
+
+Pixel mode (uint8 stacked-frame obs + :class:`FrameReplayBuffer`): only the
+NEWEST 84×84 frame crosses host→device each step (7 KB/env instead of the
+28 KB full stack); the device maintains its own stack ring (one jitted
+roll/reset select) and the frame-dedup replay stores each frame once.  This
+is the uint8 staging layout the reference's Atari path implies but never
+optimizes (it ships full [4,84,84] stacks per step, obs.rs:42-60).
 """
 
 from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from border_tpu.core import spaces
 from border_tpu.core.agent import Agent
+from border_tpu.core.env import Timestep
 from border_tpu.envs.native import AsyncEnvFeeder, NativeVecEnv
 from border_tpu.record.record import Record
 from border_tpu.record.recorder import NullRecorder, Recorder
 from border_tpu.replay.buffer import ReplayBuffer, Transition
+from border_tpu.replay.frame_buffer import FrameReplayBuffer
 from border_tpu.train.config import TrainerConfig
 from border_tpu.train.trainer import TrainResult
 
 
-class HostEvaluator:
-    """Deterministic-seed evaluation on fresh native envs
-    (≙ DefaultEvaluator's reset_with_index discipline,
-    border-core/src/evaluator/default_evaluator.rs:40-116)."""
+def _make_host_env(env: Union[str, Any], num_envs: int, seed: int,
+                   n_threads: Optional[int], train: bool = True):
+    """str → C++ NativeVecEnv; otherwise the env object is used as-is
+    (must expose num_envs, observation_space, action_space, reset,
+    step_final, close)."""
+    if isinstance(env, str):
+        return NativeVecEnv(env, num_envs, seed=seed, n_threads=n_threads,
+                            train=train)
+    return env
 
-    def __init__(self, env_name: str, n_episodes: int = 5,
-                 max_steps: int = 1_000, base_seed: int = 424242):
-        self.env_name = env_name
+
+class HostEvaluator:
+    """Deterministic-seed evaluation on fresh host envs
+    (≙ DefaultEvaluator's reset_with_index discipline,
+    border-core/src/evaluator/default_evaluator.rs:40-116).
+
+    ``env``: a native env name (str) or a factory
+    ``(n_episodes, seed) -> host env`` — evaluation envs are built in eval
+    mode (unclipped rewards) when native."""
+
+    def __init__(self, env: Union[str, Callable[[int, int], Any]],
+                 n_episodes: int = 5, max_steps: int = 1_000,
+                 base_seed: int = 424242):
+        if isinstance(env, str):
+            name = env
+            env = lambda n, seed: NativeVecEnv(  # noqa: E731
+                name, n, seed=seed, train=False
+            )
+        self.env_factory = env
         self.n_episodes = n_episodes
         self.max_steps = max_steps
         self.base_seed = base_seed
@@ -53,8 +85,7 @@ class HostEvaluator:
 
     def evaluate(self, agent: Agent, agent_state, eval_index: int = 0
                  ) -> Tuple[float, Record]:
-        env = NativeVecEnv(self.env_name, self.n_episodes,
-                           seed=self.base_seed + eval_index)
+        env = self.env_factory(self.n_episodes, self.base_seed + eval_index)
         # cache the jitted selector per agent: a fresh jax.jit wrapper per
         # evaluation would retrace every time
         if self._select is None or self._agent is not agent:
@@ -65,61 +96,89 @@ class HostEvaluator:
         obs = env.reset()
         returns = np.zeros(self.n_episodes, np.float64)
         running = np.ones(self.n_episodes, bool)
+        n_steps = 0
         for _ in range(self.max_steps):
             key, k = jax.random.split(key)
             act = np.asarray(select(agent_state, jnp.asarray(obs), k))
             obs, rew, term, trunc = env.step(act)
             returns += rew * running
             running &= ~(term | trunc)
+            n_steps += 1
             if not running.any():
                 break
         env.close()
         score = float(returns.mean())
-        return score, Record({"Episode return": score})
+        return score, Record({
+            "Episode return": score,
+            # horizon-capped instances are flagged, never silently dropped
+            "Episodes truncated": float(running.sum()),
+        })
 
 
 class HostEnvTrainer:
-    """Trains a device agent on host-native (C++) envs with overlap.
+    """Trains a device agent on host envs with host/device overlap.
 
     Per iteration (one lockstep vec step = ``num_envs`` transitions):
 
     1. device selects actions for the current obs (jitted),
-    2. actions go to the C++ pool via the feeder (host threads step),
+    2. actions go to the host pool via the feeder (host threads step),
     3. device runs this iteration's update burst — OVERLAPPED with 2,
     4. results are collected and pushed into the device replay (jitted).
 
     Update:transition ratio matches the fused Trainer: ``num_envs /
     opt_interval · n_updates_per_opt`` updates per iteration (fractional
     ratios carried as debt, so long-run ratios are exact).
+
+    ``env``: a native env name (str) or a host-env object (NativeVecEnv,
+    PyVecEnv, or anything with the same interface).  ``buffer``: the flat
+    :class:`ReplayBuffer` (any obs), or :class:`FrameReplayBuffer` for
+    uint8 stacked-frame envs (enables the frame-only upload path).
     """
 
     def __init__(
         self,
-        env_name: str,
+        env: Union[str, Any],
         agent: Agent,
-        buffer: ReplayBuffer,
+        buffer: Any,
         config: TrainerConfig = TrainerConfig(),
         recorder: Optional[Recorder] = None,
         evaluator: Optional[HostEvaluator] = None,
         n_threads: Optional[int] = None,
+        eval_callback=None,
     ):
-        self.env_name = env_name
+        self.env_name = env if isinstance(env, str) else getattr(
+            env, "name", type(env).__name__
+        )
         self.agent = agent
         self.buffer = buffer
         self.config = config
         self.recorder = recorder or NullRecorder()
         self.evaluator = evaluator
-        self.env = NativeVecEnv(env_name, config.num_envs, seed=config.seed,
-                                n_threads=n_threads)
-        self.observation_space = spaces.Box(
-            -np.inf, np.inf, (self.env.obs_dim,), jnp.float32
-        )
-        self.action_space = spaces.Discrete(self.env.num_actions)
+        # called after every evaluation with (opt_steps, env_steps, score,
+        # best_score) — used to stream learning-curve artifacts
+        self.eval_callback = eval_callback
+        self.env = _make_host_env(env, config.num_envs, config.seed,
+                                  n_threads, train=True)
+        if self.env.num_envs != config.num_envs:
+            raise ValueError(
+                f"host env has {self.env.num_envs} envs; config.num_envs is "
+                f"{config.num_envs}"
+            )
+        self.observation_space = self.env.observation_space
+        self.action_space = self.env.action_space
         c = config
         self.updates_per_transition = c.n_updates_per_opt / c.opt_interval
         from border_tpu.train.trainer import Trainer
 
         Trainer._check_nstep_stride(buffer, c.num_envs)
+        Trainer._check_nstep_clip(agent, buffer)
+        # frame mode: uint8 stacked frames + frame-dedup replay → only the
+        # newest frame is uploaded; the device maintains the stack ring
+        self.frame_mode = isinstance(buffer, FrameReplayBuffer)
+        if self.frame_mode and len(self.observation_space.shape) != 3:
+            raise ValueError(
+                "FrameReplayBuffer needs [H, W, stack] uint8 host obs"
+            )
 
     # -- jitted device programs -------------------------------------------
     @partial(jax.jit, static_argnums=0)
@@ -127,14 +186,27 @@ class HostEnvTrainer:
         return self.agent.select_action(agent_state, obs, key)
 
     @partial(jax.jit, static_argnums=0)
-    def _ingest(self, agent_state, buf_state, obs, act, final_obs, rew,
-                term, trunc):
-        buf_state = self.buffer.push(buf_state, Transition(
-            obs=obs, act=act, next_obs=final_obs, reward=rew,
-            terminated=term, truncated=trunc,
-        ))
+    def _ingest(self, agent_state, buf_state, prev_obs, act, final_obs, rew,
+                term, trunc, prev_ep_len):
+        """Push one lockstep transition batch through the buffer's own
+        step processor (≙ SimpleStepProcessor::process,
+        generic_replay_buffer/step_proc.rs:103-137)."""
+        ts = Timestep(obs=None, final_obs=final_obs, reward=rew,
+                      terminated=term, truncated=trunc, info={})
+        buf_state = self.buffer.process_step(
+            buf_state, prev_obs, act, ts, prev_ep_len
+        )
         agent_state = self.agent.on_env_step(agent_state, self.config.num_envs)
         return agent_state, buf_state
+
+    @partial(jax.jit, static_argnums=0)
+    def _advance_stack(self, stack, frame, done):
+        """Device-side stack ring: roll the newest frame in, or reset the
+        whole stack to the new episode's first frame (≙ the stack ring of
+        env.rs:189-199, maintained device-side to keep uploads frame-sized)."""
+        rolled = jnp.concatenate([stack[..., 1:], frame[..., None]], axis=-1)
+        reset = jnp.repeat(frame[..., None], stack.shape[-1], axis=-1)
+        return jnp.where(done[:, None, None, None], reset, rolled)
 
     @partial(jax.jit, static_argnums=(0, 4))
     def _update_burst(self, agent_state, buf_state, key, m: int):
@@ -178,6 +250,10 @@ class HostEnvTrainer:
 
         feeder = AsyncEnvFeeder(self.env, step_fn=self.env.step_final)
         obs = self.env.reset()
+        # device copy of the current obs (in frame mode this is the device-
+        # maintained stack ring; the host uploads only new frames after this)
+        obs_dev = jnp.asarray(obs)
+        ep_len = np.zeros(c.num_envs, np.int32)  # steps in current episode
 
         env_steps = 0
         opt_steps = 0
@@ -193,9 +269,10 @@ class HostEnvTrainer:
 
         # prime the pipeline: submit the first actions before looping
         k_loop, k0 = jax.random.split(k_loop)
-        act = self._select(agent_state, jnp.asarray(obs), k0)
+        act = self._select(agent_state, obs_dev, k0)
         feeder.submit(np.asarray(act))
-        pending_obs, pending_act = obs, act
+        pending_obs_dev, pending_act = obs_dev, act
+        pending_ep_len = ep_len.copy()
 
         try:
             while opt_steps < c.max_opts:
@@ -220,21 +297,40 @@ class HostEnvTrainer:
                 t_w = time.perf_counter()
                 obs2, final_obs, rew, term, trunc = feeder.collect()
                 wait_time += time.perf_counter() - t_w
+                done = term | trunc
 
-                # push transition (obs_t, act_t, final_obs_{t+1})
-                agent_state, buf_state = self._ingest(
-                    agent_state, buf_state,
-                    jnp.asarray(pending_obs), pending_act,
-                    jnp.asarray(final_obs), jnp.asarray(rew),
-                    jnp.asarray(term), jnp.asarray(trunc),
-                )
+                # push transition (obs_t, act_t, …) through process_step;
+                # frame mode uploads only the newest frame and advances the
+                # device stack ring
+                if self.frame_mode:
+                    frame2 = jnp.asarray(
+                        np.ascontiguousarray(obs2[..., -1])
+                    )
+                    agent_state, buf_state = self._ingest(
+                        agent_state, buf_state, pending_obs_dev, pending_act,
+                        None, jnp.asarray(rew), jnp.asarray(term),
+                        jnp.asarray(trunc), jnp.asarray(pending_ep_len),
+                    )
+                    obs_dev = self._advance_stack(
+                        pending_obs_dev, frame2, jnp.asarray(done)
+                    )
+                else:
+                    obs_dev = jnp.asarray(obs2)
+                    agent_state, buf_state = self._ingest(
+                        agent_state, buf_state, pending_obs_dev, pending_act,
+                        jnp.asarray(final_obs), jnp.asarray(rew),
+                        jnp.asarray(term), jnp.asarray(trunc),
+                        jnp.asarray(pending_ep_len),
+                    )
                 env_steps += c.num_envs
                 window_steps += c.num_envs
+                ep_len = np.where(done, 0, ep_len + 1).astype(np.int32)
 
                 # next actions → host
-                act = self._select(agent_state, jnp.asarray(obs2), k_act)
+                act = self._select(agent_state, obs_dev, k_act)
                 feeder.submit(np.asarray(act))
-                pending_obs, pending_act = obs2, act
+                pending_obs_dev, pending_act = obs_dev, act
+                pending_ep_len = ep_len.copy()
 
                 # telemetry at chunk cadence
                 if window_steps >= c.steps_per_chunk * c.num_envs:
@@ -262,6 +358,10 @@ class HostEnvTrainer:
                             self.recorder.save_model(
                                 "best", self.agent, agent_state
                             )
+                    if self.eval_callback is not None:
+                        self.eval_callback(
+                            opt_steps, env_steps, score, best_score
+                        )
                     next_eval += c.eval_interval
         finally:
             feeder.close()

@@ -13,6 +13,7 @@
 // Build: make -C cpp   (g++ -O3 -march=native -shared -fPIC)
 // ABI: see envpool.h / border_tpu/envs/native.py.
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -31,18 +32,20 @@ namespace {
 // ----------------------------------------------------------------------
 struct EnvBase {
   virtual ~EnvBase() = default;
-  virtual int obs_dim() const = 0;
+  virtual int obs_dim() const = 0;           // elements per env
+  virtual int obs_dtype() const { return 0; }  // 0 = f32, 1 = u8
   virtual int num_actions() const = 0;
-  virtual void reset(std::mt19937 &rng, float *obs) = 0;
+  virtual void reset(std::mt19937 &rng, void *obs) = 0;
   // Writes the pre-reset (final) obs to final_obs, then the post-step obs
   // to obs (the new episode's first obs after auto-reset).  final_obs may
   // alias obs — the final write happens first, so aliasing reproduces the
   // plain auto-reset semantics.  The separate final obs is what replay
   // transitions need as next_obs (≙ Step.init_obs bookkeeping of
   // border-core/src/base/env.rs:138-160).
-  virtual void step(std::mt19937 &rng, int action, float *obs,
-                    float *final_obs, float *reward, uint8_t *terminated,
+  virtual void step(std::mt19937 &rng, int action, void *obs,
+                    void *final_obs, float *reward, uint8_t *terminated,
                     uint8_t *truncated) = 0;
+  int obs_bytes() const { return obs_dim() * (obs_dtype() == 0 ? 4 : 1); }
 };
 
 // Gymnasium-faithful CartPole-v1 (same constants as the JAX twin in
@@ -63,15 +66,18 @@ struct CartPole final : EnvBase {
     obs[0] = x; obs[1] = x_dot; obs[2] = theta; obs[3] = theta_dot;
   }
 
-  void reset(std::mt19937 &rng, float *obs) override {
+  void reset(std::mt19937 &rng, void *obs_v) override {
+    float *obs = static_cast<float *>(obs_v);
     std::uniform_real_distribution<float> d(-0.05f, 0.05f);
     x = d(rng); x_dot = d(rng); theta = d(rng); theta_dot = d(rng);
     t = 0;
     write_obs(obs);
   }
 
-  void step(std::mt19937 &rng, int action, float *obs, float *final_obs,
+  void step(std::mt19937 &rng, int action, void *obs_v, void *final_obs_v,
             float *reward, uint8_t *terminated, uint8_t *truncated) override {
+    float *obs = static_cast<float *>(obs_v);
+    float *final_obs = static_cast<float *>(final_obs_v);
     const float force = action == 1 ? kForceMag : -kForceMag;
     const float costh = std::cos(theta), sinth = std::sin(theta);
     const float total_mass = kMassCart + kMassPole;
@@ -119,15 +125,18 @@ struct Pendulum final : EnvBase {
     obs[0] = std::cos(theta); obs[1] = std::sin(theta); obs[2] = theta_dot;
   }
 
-  void reset(std::mt19937 &rng, float *obs) override {
+  void reset(std::mt19937 &rng, void *obs_v) override {
+    float *obs = static_cast<float *>(obs_v);
     std::uniform_real_distribution<float> dth(-M_PI, M_PI);
     std::uniform_real_distribution<float> dv(-1.0f, 1.0f);
     theta = dth(rng); theta_dot = dv(rng); t = 0;
     write_obs(obs);
   }
 
-  void step(std::mt19937 &rng, int action, float *obs, float *final_obs,
+  void step(std::mt19937 &rng, int action, void *obs_v, void *final_obs_v,
             float *reward, uint8_t *terminated, uint8_t *truncated) override {
+    float *obs = static_cast<float *>(obs_v);
+    float *final_obs = static_cast<float *>(final_obs_v);
     const float u = -kMaxTorque + 2.0f * kMaxTorque * action / (kBins - 1);
     float th_norm = std::fmod(theta + M_PI, 2.0f * M_PI);
     if (th_norm < 0) th_norm += 2.0f * M_PI;
@@ -148,10 +157,184 @@ struct Pendulum final : EnvBase {
   }
 };
 
+// 84×84 uint8 pixel Pong — the host-native C++ twin of the on-device JAX
+// game (border_tpu/envs/pong.py: same geometry, serve scheme, opponent AI)
+// with the DQN-paper preprocessing stack inline (≙ the reference's
+// BorderAtariEnv over C++ ALE, border-atari-env/src/env.rs:126-199):
+// 4-frame action repeat with max-pool of the last two raw frames, 4-frame
+// stack ring, sign reward clip in train mode, 27k-frame episode cap.
+// Observation: [84, 84, 4] uint8 channels-last (28224 bytes), newest frame
+// in the last channel — identical layout to the device PixelEnv, so the
+// same AtariCNN consumes either source.
+struct PixelPong final : EnvBase {
+  static constexpr int kH = 84, kW = 84, kStack = 4;
+  static constexpr int kFrame = kH * kW;
+  static constexpr float kPaddleHalf = 0.075f, kAgentX = 0.92f,
+                         kOppX = 0.08f, kPaddleW = 0.02f, kBallR = 0.012f,
+                         kBallSpeedX = 0.0175f, kBallVyMax = 0.024f,
+                         kPaddleSpeed = 0.022f, kOppSpeed = 0.0145f;
+  static constexpr int kWinScore = 21, kServeFrames = 20, kFrameSkip = 4;
+  static constexpr int kMaxFrames = 27000;
+
+  bool clip_reward;  // train mode: sign clip (≙ env.rs:154-164)
+  // game state
+  float bx, by, vx, vy, agent_y, opp_y;
+  int score_a = 0, score_o = 0, serve_timer = 0, frame_count = 0;
+  // stack ring: planes[(start + k) % 4] is the k-th oldest frame
+  uint8_t planes[kStack][kFrame];
+  int start = 0;
+
+  explicit PixelPong(bool clip) : clip_reward(clip) {}
+
+  int obs_dim() const override { return kFrame * kStack; }
+  int obs_dtype() const override { return 1; }
+  int num_actions() const override { return 6; }
+
+  void serve(std::mt19937 &rng, bool toward_agent) {
+    std::uniform_real_distribution<float> dvy(-kBallVyMax, kBallVyMax);
+    std::uniform_real_distribution<float> dy(0.3f, 0.7f);
+    vy = dvy(rng);
+    by = dy(rng);
+    bx = 0.5f;
+    vx = toward_agent ? kBallSpeedX : -kBallSpeedX;
+    serve_timer = kServeFrames;
+  }
+
+  // one emulator frame (≙ Pong.frame_step, envs/pong.py)
+  // returns reward; sets done
+  float frame_step(std::mt19937 &rng, int a, bool *done) {
+    const bool up = a == 2 || a == 4;
+    const bool down = a == 3 || a == 5;
+    const float move = (down ? 1.0f : 0.0f) - (up ? 1.0f : 0.0f);
+    agent_y = std::fmax(kPaddleHalf,
+                        std::fmin(1.0f - kPaddleHalf,
+                                  agent_y + move * kPaddleSpeed));
+    // opponent: track when approaching, drift to center otherwise
+    const float target = vx < 0 ? by : 0.5f;
+    float delta = target - opp_y;
+    delta = std::fmax(-kOppSpeed, std::fmin(kOppSpeed, delta));
+    opp_y = std::fmax(kPaddleHalf,
+                      std::fmin(1.0f - kPaddleHalf, opp_y + delta));
+
+    const bool serving = serve_timer > 0;
+    const float old_vx = vx, old_vy = vy;
+    bx += serving ? 0.0f : old_vx;
+    by += serving ? 0.0f : old_vy;
+    if (by < kBallR || by > 1.0f - kBallR) vy = -old_vy;
+    by = std::fmax(kBallR, std::fmin(1.0f - kBallR, by));
+
+    const bool cross_a =
+        old_vx > 0 && bx >= kAgentX - kPaddleW && !serving &&
+        std::fabs(by - agent_y) <= kPaddleHalf + kBallR;
+    const bool cross_o =
+        old_vx < 0 && bx <= kOppX + kPaddleW && !serving &&
+        std::fabs(by - opp_y) <= kPaddleHalf + kBallR;
+    if (cross_a) {
+      vx = -std::fmin(std::fabs(old_vx) * 1.03f, 0.03f);
+      vy = (by - agent_y) / kPaddleHalf * kBallVyMax;
+      bx = kAgentX - kPaddleW - kBallR;
+    } else if (cross_o) {
+      vx = std::fmin(std::fabs(old_vx) * 1.03f, 0.03f);
+      vy = (by - opp_y) / kPaddleHalf * kBallVyMax;
+      bx = kOppX + kPaddleW + kBallR;
+    }
+
+    const bool agent_point = bx < 0.0f && !serving;
+    const bool opp_point = bx > 1.0f && !serving;
+    const float reward = (agent_point ? 1.0f : 0.0f) -
+                         (opp_point ? 1.0f : 0.0f);
+    score_a += agent_point;
+    score_o += opp_point;
+    serve_timer = serve_timer > 0 ? serve_timer - 1 : 0;
+    if (agent_point || opp_point) serve(rng, /*toward_agent=*/opp_point);
+    *done = score_a >= kWinScore || score_o >= kWinScore;
+    return reward;
+  }
+
+  // grayscale render (≙ Pong.render: paddles 147, ball 236 on black)
+  void render(uint8_t *f) const {
+    std::memset(f, 0, kFrame);
+    auto draw = [&](float cx, float cy, float hw, float hh, uint8_t v) {
+      int x0 = (int)std::ceil((cx - hw) * (kW - 1));
+      int x1 = (int)std::floor((cx + hw) * (kW - 1));
+      int y0 = (int)std::ceil((cy - hh) * (kH - 1));
+      int y1 = (int)std::floor((cy + hh) * (kH - 1));
+      x0 = std::max(x0, 0); x1 = std::min(x1, kW - 1);
+      y0 = std::max(y0, 0); y1 = std::min(y1, kH - 1);
+      for (int y = y0; y <= y1; ++y)
+        for (int x = x0; x <= x1; ++x)
+          f[y * kW + x] = std::max(f[y * kW + x], v);
+    };
+    draw(kAgentX, agent_y, kPaddleW / 2 + 0.006f, kPaddleHalf, 147);
+    draw(kOppX, opp_y, kPaddleW / 2 + 0.006f, kPaddleHalf, 147);
+    if (serve_timer <= 0) draw(bx, by, kBallR, kBallR, 236);
+  }
+
+  // interleave the stack ring into channels-last [84, 84, 4] uint8
+  void write_obs_u8(uint8_t *obs) const {
+    for (int k = 0; k < kStack; ++k) {
+      const uint8_t *p = planes[(start + k) % kStack];
+      for (int i = 0; i < kFrame; ++i) obs[i * kStack + k] = p[i];
+    }
+  }
+
+  void reset(std::mt19937 &rng, void *obs_v) override {
+    std::uniform_real_distribution<float> dy(0.35f, 0.65f);
+    bx = 0.5f; by = 0.5f; vx = kBallSpeedX; vy = 0.0f;
+    agent_y = dy(rng); opp_y = 0.5f;
+    score_a = score_o = 0; frame_count = 0;
+    serve(rng, /*toward_agent=*/rng() & 1);
+    render(planes[0]);
+    for (int k = 1; k < kStack; ++k)
+      std::memcpy(planes[k], planes[0], kFrame);
+    start = 0;
+    write_obs_u8(static_cast<uint8_t *>(obs_v));
+  }
+
+  void step(std::mt19937 &rng, int action, void *obs_v, void *final_obs_v,
+            float *reward, uint8_t *terminated, uint8_t *truncated) override {
+    float total_r = 0.0f;
+    bool done = false;
+    uint8_t f2[kFrame], f3[kFrame];
+    for (int k = 0; k < kFrameSkip; ++k) {
+      if (!done) {  // freeze dynamics once the episode ended mid-skip
+        bool d = false;
+        total_r += frame_step(rng, action, &d);
+        done = done || d;
+      }
+      // only the last two substeps are rendered — the max-pool consumes
+      // nothing else (≙ ALE screen grabs, env.rs:126-152)
+      if (k == kFrameSkip - 2) render(f2);
+      if (k == kFrameSkip - 1) render(f3);
+    }
+    for (int i = 0; i < kFrame; ++i) f2[i] = std::max(f2[i], f3[i]);
+    // push the pooled frame into the ring (overwrite the oldest)
+    std::memcpy(planes[start], f2, kFrame);
+    start = (start + 1) % kStack;
+    frame_count += kFrameSkip;
+
+    const bool term = done;
+    const bool trunc = !term && frame_count >= kMaxFrames;
+    *terminated = term;
+    *truncated = trunc;
+    *reward = clip_reward
+                  ? (total_r > 0 ? 1.0f : (total_r < 0 ? -1.0f : 0.0f))
+                  : total_r;
+    write_obs_u8(static_cast<uint8_t *>(final_obs_v));
+    if (term || trunc) {
+      reset(rng, obs_v);
+    } else if (obs_v != final_obs_v) {
+      std::memcpy(obs_v, final_obs_v, obs_bytes());
+    }
+  }
+};
+
 EnvBase *make_env(int env_id) {
   switch (env_id) {
     case 0: return new CartPole();
     case 1: return new Pendulum();
+    case 2: return new PixelPong(/*clip=*/true);   // train mode
+    case 3: return new PixelPong(/*clip=*/false);  // eval mode
     default: return nullptr;
   }
 }
@@ -164,7 +347,7 @@ EnvBase *make_env(int env_id) {
 struct Pool {
   std::vector<EnvBase *> envs;
   std::vector<std::mt19937> rngs;
-  int num_envs = 0, obs_dim = 0, n_threads = 0;
+  int num_envs = 0, obs_dim = 0, obs_bytes = 0, obs_dtype = 0, n_threads = 0;
 
   // work broadcast state
   std::vector<std::thread> workers;
@@ -184,6 +367,8 @@ struct Pool {
       rngs.emplace_back(seed + 0x9e3779b97f4a7c15ULL * (i + 1));
     }
     obs_dim = envs[0]->obs_dim();
+    obs_bytes = envs[0]->obs_bytes();
+    obs_dtype = envs[0]->obs_dtype();
     for (int w = 0; w < n_threads; ++w) {
       workers.emplace_back([this, w] { worker_loop(w); });
     }
@@ -247,37 +432,45 @@ void *envpool_create(int env_id, int num_envs, uint64_t seed, int n_threads) {
 
 int envpool_obs_dim(void *h) { return static_cast<Pool *>(h)->obs_dim; }
 
+// 0 = float32, 1 = uint8 (pixel envs)
+int envpool_obs_dtype(void *h) { return static_cast<Pool *>(h)->obs_dtype; }
+
 int envpool_num_actions(void *h) {
   return static_cast<Pool *>(h)->envs[0]->num_actions();
 }
 
-void envpool_reset(void *h, float *obs_out) {
+void envpool_reset(void *h, void *obs_out) {
   Pool *p = static_cast<Pool *>(h);
-  const int d = p->obs_dim;
-  p->run([=](int i) { p->envs[i]->reset(p->rngs[i], obs_out + i * d); });
+  const int b = p->obs_bytes;
+  uint8_t *obs = static_cast<uint8_t *>(obs_out);
+  p->run([=](int i) { p->envs[i]->reset(p->rngs[i], obs + (size_t)i * b); });
 }
 
-void envpool_step(void *h, const int32_t *actions, float *obs_out,
+void envpool_step(void *h, const int32_t *actions, void *obs_out,
                   float *reward_out, uint8_t *term_out, uint8_t *trunc_out) {
   Pool *p = static_cast<Pool *>(h);
-  const int d = p->obs_dim;
+  const int b = p->obs_bytes;
+  uint8_t *obs = static_cast<uint8_t *>(obs_out);
   p->run([=](int i) {
     // final_obs aliases obs: plain auto-reset semantics (back-compat ABI)
-    p->envs[i]->step(p->rngs[i], actions[i], obs_out + i * d, obs_out + i * d,
-                     reward_out + i, term_out + i, trunc_out + i);
+    p->envs[i]->step(p->rngs[i], actions[i], obs + (size_t)i * b,
+                     obs + (size_t)i * b, reward_out + i, term_out + i,
+                     trunc_out + i);
   });
 }
 
 // step + separate pre-reset (final) obs — what replay transitions need as
 // next_obs at episode boundaries.
-void envpool_step2(void *h, const int32_t *actions, float *obs_out,
-                   float *final_obs_out, float *reward_out, uint8_t *term_out,
+void envpool_step2(void *h, const int32_t *actions, void *obs_out,
+                   void *final_obs_out, float *reward_out, uint8_t *term_out,
                    uint8_t *trunc_out) {
   Pool *p = static_cast<Pool *>(h);
-  const int d = p->obs_dim;
+  const int b = p->obs_bytes;
+  uint8_t *obs = static_cast<uint8_t *>(obs_out);
+  uint8_t *fobs = static_cast<uint8_t *>(final_obs_out);
   p->run([=](int i) {
-    p->envs[i]->step(p->rngs[i], actions[i], obs_out + i * d,
-                     final_obs_out + i * d, reward_out + i, term_out + i,
+    p->envs[i]->step(p->rngs[i], actions[i], obs + (size_t)i * b,
+                     fobs + (size_t)i * b, reward_out + i, term_out + i,
                      trunc_out + i);
   });
 }

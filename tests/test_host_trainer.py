@@ -2,6 +2,7 @@
 (≙ the reference's host-ALE + actor-thread + GPU-learner architecture,
 border-atari-env/src/atari_env/ale.rs:62-100 + actor/base.rs:120-178)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -69,3 +70,112 @@ def test_host_env_trainer_learns_cartpole():
     ]
     assert waits, "host_wait_frac record missing"
     assert min(waits) < 0.9
+
+
+# ---------------------------------------------------------------------------
+# External Python (Gymnasium) envs through the host path (VERDICT r2 next #5)
+# ---------------------------------------------------------------------------
+def test_pyvecenv_interface():
+    import numpy as np
+
+    from border_tpu.envs import PyVecEnv
+
+    env = PyVecEnv.gym("CartPole-v1", 4, seed=3)
+    assert env.num_envs == 4
+    assert env.observation_space.shape == (4,)
+    assert env.action_space.n == 2
+    obs = env.reset()
+    assert obs.shape == (4, 4)
+    acts = np.array([0, 1, 0, 1], np.int64)
+    obs2, final, rew, term, trunc = env.step_final(acts)
+    assert obs2.shape == (4, 4) and rew.shape == (4,)
+    assert (rew == 1.0).all()
+    env.close()
+
+
+def test_host_trainer_trains_on_real_gymnasium():
+    """The reference trains on arbitrary Gymnasium envs
+    (border-py-gym-env/src/base.rs:268-340); HostEnvTrainer over PyVecEnv
+    covers the same capability: real gymnasium.make('CartPole-v1') envs
+    feed the device learner, which learns (return ≥ 60 from ~24 at init)."""
+    from border_tpu.agents import DQN, DQNConfig
+    from border_tpu.envs import PyVecEnv
+    from border_tpu.replay import ReplayBuffer
+    from border_tpu.train import HostEnvTrainer, HostEvaluator, TrainerConfig
+
+    num_envs = 16
+    cfg = TrainerConfig(
+        max_opts=1_200, warmup_period=500, opt_interval=8, batch_size=64,
+        num_envs=num_envs, steps_per_chunk=16, eval_interval=400, seed=5,
+    )
+    env = PyVecEnv.gym("CartPole-v1", num_envs, seed=5)
+    evaluator = HostEvaluator(
+        lambda n, seed: PyVecEnv.gym("CartPole-v1", n, seed=seed),
+        n_episodes=5, max_steps=500,
+    )
+    tr = HostEnvTrainer(
+        env, DQN(DQNConfig(hidden=(64, 64), lr=1e-3, double_dqn=True,
+                           eps_final_step=8_000)),
+        ReplayBuffer(20_000), cfg, evaluator=evaluator,
+    )
+    res = tr.train()
+    assert res.opt_steps >= cfg.max_opts
+    assert res.best_score >= 60.0, res.eval_history
+
+
+# ---------------------------------------------------------------------------
+# Pixel game on the host-native C++ path (VERDICT r2 next #2)
+# ---------------------------------------------------------------------------
+def test_host_trainer_pixel_pong_frame_mode():
+    """84×84 uint8 frames stream from the C++ envpool into the device
+    learner: frame-only uploads, device-side stack ring, frame-dedup
+    replay.  Smoke-scale here; the committed learning curve runs on the
+    chip (benchmarks/learning.py pong_host)."""
+    import numpy as np
+
+    from border_tpu.agents import DQN, DQNConfig
+    from border_tpu.models import AtariCNN
+    from border_tpu.replay import FrameReplayBuffer
+    from border_tpu.train import HostEnvTrainer, HostEvaluator, TrainerConfig
+
+    num_envs = 8
+    cfg = TrainerConfig(
+        max_opts=4, warmup_period=64, opt_interval=32, batch_size=16,
+        num_envs=num_envs, steps_per_chunk=8, eval_interval=10**9, seed=0,
+    )
+    tr = HostEnvTrainer(
+        "Pong-v0",
+        DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                      double_dqn=True)),
+        FrameReplayBuffer(capacity=64, num_envs=num_envs), cfg,
+    )
+    assert tr.frame_mode
+    res = tr.train()
+    assert res.opt_steps >= 4
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(res.agent_state.params)[0])
+    ).all()
+    # the frame ring holds real (non-zero) frames (total = per-env steps)
+    assert int(res.buffer_state.total) * num_envs >= res.env_steps > 0
+    assert np.asarray(res.buffer_state.frames).max() > 0
+    tr.env.close()
+
+
+def test_host_evaluator_pixel_eval_mode():
+    """HostEvaluator on the C++ pixel env: eval variant (unclipped rewards),
+    deterministic seeds, truncation flagged."""
+    from border_tpu.agents import DQN, DQNConfig
+    from border_tpu.models import AtariCNN
+    from border_tpu.train import HostEvaluator
+
+    from border_tpu.envs.native import NativeVecEnv
+
+    agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n)))
+    env = NativeVecEnv("Pong-v0", 2, seed=0, train=False)
+    state = agent.init(jax.random.PRNGKey(0), env.observation_space,
+                       env.action_space)
+    env.close()
+    ev = HostEvaluator("Pong-v0", n_episodes=2, max_steps=60)
+    score, rec = ev.evaluate(agent, state)
+    assert np.isfinite(score)
+    assert rec["Episodes truncated"] == 2.0  # 60 steps can't finish Pong
