@@ -56,16 +56,21 @@ def _build(config: str, seed: int):
     from border_tpu.train import Evaluator, Trainer, TrainerConfig
 
     if config == "cartpole":
+        # n-step-3 + lr 5e-4: the most end-stable DQN-CartPole config from
+        # the r3 stability sweep (vanilla DQN oscillates after solving on
+        # every lr/target-period/clip combination tried; n-step backups
+        # damp it most).  The gate scores the best checkpoint on fresh
+        # episodes, so end-of-run oscillation no longer certifies luck.
         env = make("CartPole-v1")
-        agent = DQN(DQNConfig(hidden=(64, 64), lr=1e-3, gamma=0.99, tau=1.0,
+        agent = DQN(DQNConfig(hidden=(64, 64), lr=5e-4, gamma=0.99, tau=1.0,
                               soft_update_interval=500, double_dqn=True,
-                              eps_final_step=20_000))
-        cfg = TrainerConfig(max_opts=15_000, warmup_period=1_000,
-                            opt_interval=16, batch_size=128, num_envs=128,
+                              eps_final_step=10_000))
+        cfg = TrainerConfig(max_opts=12_000, warmup_period=1_000,
+                            opt_interval=16, batch_size=256, num_envs=128,
                             steps_per_chunk=32, eval_interval=500, seed=seed)
-        buffer = ReplayBuffer(capacity=65_536)
-        evaluator = Evaluator(env, n_episodes=10, max_steps=500)
-        meta = {"env": "CartPole-v1", "agent": "DQN+MLP"}
+        buffer = ReplayBuffer(capacity=65_536, n_step=3, stride=128)
+        evaluator = Evaluator(env, n_episodes=20, max_steps=500)
+        meta = {"env": "CartPole-v1", "agent": "DQN+MLP (n-step 3)"}
     elif config == "pendulum":
         env = make("Pendulum-v1")
         agent = SAC(SACConfig(actor_hidden=(128, 128), critic_hidden=(128, 128),
@@ -181,10 +186,13 @@ def run(config: str, seed: int, out: str) -> float:
                 "curve": curve,
             }, f, indent=1)
 
+    import tempfile
+
+    model_dir = tempfile.mkdtemp(prefix=f"{config}_s{seed}_")
+    rec = BufferedRecorder(model_dir=model_dir)
     if meta.get("trainer") == "HostEnvTrainer":
         from border_tpu.train import HostEnvTrainer
 
-        rec = BufferedRecorder()
         trainer = HostEnvTrainer(env, agent, buffer, cfg, recorder=rec,
                                  evaluator=evaluator, eval_callback=on_eval)
         result = trainer.train()
@@ -194,13 +202,30 @@ def run(config: str, seed: int, out: str) -> float:
         if waits:
             extra["host_wait_frac_mean"] = round(float(np.mean(waits)), 4)
             extra["host_wait_frac_last"] = round(float(waits[-1]), 4)
-            on_eval(result.opt_steps, result.env_steps,
-                    curve[-1]["eval_return"] if curve else float("nan"),
-                    result.best_score)
         trainer.env.close()
     else:
-        result = Trainer(env, agent, buffer, cfg, evaluator=evaluator,
-                         eval_callback=on_eval).train()
+        result = Trainer(env, agent, buffer, cfg, recorder=rec,
+                         evaluator=evaluator, eval_callback=on_eval).train()
+
+    # -- final certification: reload the BEST checkpoint (the training
+    # run's deliverable, ≙ the reference's best-model selection,
+    # trainer.rs:251-255) and score it on 5 FRESH seeded eval batches —
+    # the gate consumes the median of these, so no single lucky training
+    # eval can pass it (VERDICT r2 next #3)
+    best_dir = os.path.join(model_dir, "best")
+    if os.path.isdir(best_dir) and curve:
+        best_state = agent.load(result.agent_state, best_dir)
+        finals = []
+        for i in range(5):
+            s, _ = evaluator.evaluate(agent, best_state,
+                                      eval_index=10_000 + 7 * i)
+            finals.append(round(float(s), 2))
+        extra["final_evals"] = finals
+        extra["final_median"] = round(float(np.median(finals)), 2)
+        print(f"  best-checkpoint fresh evals: {finals} "
+              f"(median {extra['final_median']})")
+        on_eval(result.opt_steps, result.env_steps,
+                curve[-1]["eval_return"], result.best_score)
     print(f"{config}: best={result.best_score:.1f} "
           f"samples/s={result.samples_per_sec:,.0f} "
           f"duration={result.duration_sec:.0f}s")

@@ -45,7 +45,103 @@ REF_MIN = -1200.0
 REF_MAX = -130.0
 
 
+class ScriptedReacherPolicy:
+    """Jacobian-transpose reaching controller on the goal-dict obs —
+    the scripted data-collection policy for the dict-obs corpus
+    (≙ the role of D4RL's scripted/partially-trained collectors behind
+    pointmaze/fetch datasets, border-minari/src/d4rl/**).
+
+    τ = Jᵀ(goal − ee)·kp − kd·q̇ + 𝒩(0, σ) — σ sets the corpus quality
+    ("medium" ≈ σ 0.6).  kp keeps torques mostly unsaturated so the
+    clipped-noise action mean stays ≈ the deterministic controller (a
+    saturating collector would bias BC's regression target toward 0)."""
+
+    def __init__(self, kp: float = 2.5, kd: float = 0.25, sigma: float = 0.3):
+        self.kp, self.kd, self.sigma = kp, kd, sigma
+
+    def _torque(self, obs):
+        import jax.numpy as jnp
+
+        from border_tpu.envs.reacher import L1, L2
+
+        q = obs["observation"][..., :2]
+        qd = obs["observation"][..., 2:]
+        err = obs["desired_goal"] - obs["achieved_goal"]  # [..., 2]
+        q1, q12 = q[..., 0], q[..., 0] + q[..., 1]
+        s1, c1 = jnp.sin(q1), jnp.cos(q1)
+        s12, c12 = jnp.sin(q12), jnp.cos(q12)
+        # J = [[-L1 s1 - L2 s12, -L2 s12], [L1 c1 + L2 c12, L2 c12]]
+        jt_row0 = jnp.stack([-L1 * s1 - L2 * s12, L1 * c1 + L2 * c12], -1)
+        jt_row1 = jnp.stack([-L2 * s12, L2 * c12], -1)
+        tau = jnp.stack(
+            [jnp.sum(jt_row0 * err, -1), jnp.sum(jt_row1 * err, -1)], -1
+        )
+        return jnp.clip(self.kp * tau - self.kd * qd, -1.0, 1.0)
+
+    def select_action(self, agent_state, obs, key):
+        import jax
+        import jax.numpy as jnp
+
+        tau = self._torque(obs)
+        noise = self.sigma * jax.random.normal(key, tau.shape, jnp.float32)
+        return jnp.clip(tau + noise, -1.0, 1.0)
+
+    def select_action_eval(self, agent_state, obs, key):
+        return self._torque(obs)
+
+
+def make_fetch_reacher():
+    """Generate + commit the goal-dict corpus ``fetch-reacher-medium-v0``
+    (raw dict obs; flattened at load by GoalDictConverter — prefix
+    "fetch" in the converter registry)."""
+    env = make("Reacher-v0")  # dict observations
+
+    def ep_return(sigma, n_steps, seed):
+        pol = ScriptedReacherPolicy(sigma=sigma)
+        ds = collect_dataset(env, pol, None, n_steps=n_steps, num_envs=50,
+                             seed=seed, explore=True)
+        n_eps = int(ds.terminated.sum() + ds.truncated.sum())
+        return ds, float(np.sum(ds.reward) / max(n_eps, 1))
+
+    # D4RL-convention refs measured on THIS env: random policy / near-
+    # expert scripted policy
+    _, ref_min = ep_return(sigma=10.0, n_steps=10_000, seed=7)  # ≈ random
+    _, ref_max = ep_return(sigma=0.02, n_steps=10_000, seed=8)
+    ds, behavior_return = ep_return(sigma=0.6, n_steps=25_000, seed=1)
+    print(f"fetch-reacher: ref_min={ref_min:.1f} ref_max={ref_max:.1f} "
+          f"behavior={behavior_return:.1f}  ({len(ds)} transitions)")
+    assert isinstance(ds.obs, dict)
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    ds.save_npz(os.path.join(OUT_DIR, "fetch-reacher-medium-v0.npz"))
+    with open(os.path.join(OUT_DIR, "fetch-reacher-medium-v0.json"), "w") as f:
+        json.dump({
+            "dataset_id": "fetch-reacher-medium-v0",
+            "env": "ReacherGoal-v0",
+            "obs": "dict{observation, achieved_goal, desired_goal} (raw)",
+            "collector": "ScriptedReacherPolicy(kp=2.5, sigma=0.6) (Jacobian-transpose)",
+            "ref_min": ref_min,
+            "ref_max": ref_max,
+            "behavior_return": behavior_return,
+            "n_transitions": len(ds),
+        }, f, indent=1)
+    print("written to", OUT_DIR)
+
+
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("corpus", nargs="?", default="pendulum",
+                   choices=["pendulum", "fetch_reacher", "all"])
+    which = p.parse_args().corpus
+    if which in ("fetch_reacher", "all"):
+        make_fetch_reacher()
+    if which in ("pendulum", "all"):
+        make_pendulum()
+
+
+def make_pendulum():
     env = make("Pendulum-v1")
     agent = SAC(SACConfig(actor_hidden=(128, 128), critic_hidden=(128, 128),
                           n_critics=2, ent_coef_mode="auto"))

@@ -59,9 +59,16 @@ class DQNConfig:
     # optimizer (≙ OptimizerConfig, opt.rs:13-84)
     optimizer: str = "adam"
     lr: float = 1e-3
+    # linear lr decay lr → lr·lr_final_frac over lr_decay_steps optimizer
+    # steps (None: constant lr, the reference's behavior).  Decaying the lr
+    # pins the end-of-run policy so final-window gates measure a converged
+    # policy, not the oscillation phase.
+    lr_decay_steps: Optional[int] = None
+    lr_final_frac: float = 0.05
     max_grad_norm: Optional[float] = None
     # model
     hidden: Sequence[int] = (64, 64)
+    dueling: bool = False  # dueling V+A head (beyond-reference stabilizer)
     model: Any = None  # optional custom flax module factory (e.g. AtariCNN)
     # Clip PER-TRANSITION rewards to [-c, c] at update time.  Only valid
     # with 1-step buffers: an n-step batch's reward is the accumulated
@@ -88,15 +95,27 @@ class DQN(Agent):
         self.tx = self._make_tx()
 
     def _make_tx(self) -> optax.GradientTransformation:
-        tx = make_optimizer(self.config.optimizer, self.config.lr)
-        if self.config.max_grad_norm is not None:
-            tx = optax.chain(optax.clip_by_global_norm(self.config.max_grad_norm), tx)
+        c = self.config
+        lr = c.lr
+        if c.lr_decay_steps:
+            lr = optax.linear_schedule(
+                c.lr, c.lr * c.lr_final_frac, c.lr_decay_steps
+            )
+        tx = make_optimizer(c.optimizer, lr)
+        if c.max_grad_norm is not None:
+            tx = optax.chain(optax.clip_by_global_norm(c.max_grad_norm), tx)
         return tx
 
     # -- construction ------------------------------------------------------
     def init(self, key: jax.Array, obs_space: spaces.Space, act_space: spaces.Discrete) -> DQNState:
         if self.config.model is not None:
             self.net = self.config.model(act_space.n)
+        elif self.config.dueling:
+            from border_tpu.models.mlp import DuelingMLP
+
+            self.net = DuelingMLP(
+                out_dim=act_space.n, hidden=tuple(self.config.hidden)
+            )
         else:
             self.net = MLP(out_dim=act_space.n, hidden=tuple(self.config.hidden))
         dummy = obs_space.zero()[None]

@@ -74,20 +74,41 @@ class OfflineDataset:
 
     @classmethod
     def from_npz(cls, path: str) -> "OfflineDataset":
+        """Load a corpus archive.  Dict observations are stored under
+        prefixed keys (``obs.<key>`` / ``next_obs.<key>``) and come back as
+        dicts — the raw goal-dict form the d4rl-style converters consume
+        (≙ the reference's HDF5 dict datasets, border-minari/src/d4rl/**)."""
         d = np.load(path)
-        return cls(**{k: d[k] for k in (
-            "obs", "act", "next_obs", "reward", "terminated", "truncated"
-        )})
+        def load_obs(prefix):
+            keys = [k for k in d.files if k.startswith(prefix + ".")]
+            if keys:
+                return {k[len(prefix) + 1:]: d[k] for k in sorted(keys)}
+            return d[prefix]
+
+        return cls(
+            obs=load_obs("obs"),
+            act=d["act"],
+            next_obs=load_obs("next_obs"),
+            reward=d["reward"],
+            terminated=d["terminated"],
+            truncated=d["truncated"],
+        )
 
     def save_npz(self, path: str) -> None:
+        flat = {}
+        for name, val in (("obs", self.obs), ("next_obs", self.next_obs)):
+            if isinstance(val, dict):
+                for k, v in val.items():
+                    flat[f"{name}.{k}"] = v
+            else:
+                flat[name] = val
         np.savez_compressed(
             path,
-            obs=self.obs,
             act=self.act,
-            next_obs=self.next_obs,
             reward=self.reward,
             terminated=self.terminated,
             truncated=self.truncated,
+            **flat,
         )
 
     @classmethod
@@ -167,7 +188,10 @@ def collect_dataset(
     keys = jax.random.split(key, steps)
     _, (obs, act, nobs, rew, term, trunc) = jax.lax.scan(body, vec_state, keys)
 
-    flat = lambda x: np.asarray(x).reshape((-1,) + x.shape[2:])
+    # tree-map so dict observations (goal-dict envs) flatten per leaf
+    flat = lambda t: jax.tree.map(
+        lambda x: np.asarray(x).reshape((-1,) + x.shape[2:]), t
+    )
     return OfflineDataset(
         obs=flat(obs),
         act=flat(act),

@@ -105,19 +105,13 @@ class MinariDataset:
         first (always reachable, even with the minari package installed —
         a committed corpus therefore *shadows* any same-id dataset the
         minari package could serve), then the Minari package when
-        importable.  Local corpora are stored post-conversion, so a
-        ``converter`` argument only applies on the package path."""
+        importable.  Dict-obs local corpora are stored RAW and converted
+        at load (``converter`` or the domain registry); flat local corpora
+        are already post-conversion, so a ``converter`` argument is
+        ignored there (with a warning)."""
         npz = os.path.join(LOCAL_DATASET_DIR, f"{dataset_id}.npz")
         if os.path.exists(npz):
-            if converter is not None:
-                import warnings
-
-                warnings.warn(
-                    f"{dataset_id!r} resolves to the local committed corpus,"
-                    " which is stored post-conversion — the converter"
-                    " argument is ignored", stacklevel=2,
-                )
-            return cls._from_local(dataset_id)
+            return cls._from_local(dataset_id, converter)
         try:
             import minari  # type: ignore
         except ImportError:
@@ -153,7 +147,9 @@ class MinariDataset:
         )
 
     @classmethod
-    def _from_local(cls, dataset_id: str) -> "MinariDataset":
+    def _from_local(cls, dataset_id: str,
+                    converter: Optional[MinariConverter] = None
+                    ) -> "MinariDataset":
         npz = os.path.join(LOCAL_DATASET_DIR, f"{dataset_id}.npz")
         meta_path = os.path.join(LOCAL_DATASET_DIR, f"{dataset_id}.json")
         if not os.path.exists(npz):
@@ -169,9 +165,29 @@ class MinariDataset:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
+        data = OfflineDataset.from_npz(npz)
+        if isinstance(data.obs, dict):
+            # raw goal-dict corpus: convert at load, exactly like the
+            # package path (≙ the per-domain d4rl converters,
+            # border-minari/src/d4rl/**)
+            conv = converter or converter_for(dataset_id)
+            data = dataclasses.replace(
+                data,
+                obs=conv.convert_observation(data.obs),
+                next_obs=conv.convert_observation(data.next_obs),
+                act=conv.convert_action(data.act),
+            )
+        elif converter is not None:
+            import warnings
+
+            warnings.warn(
+                f"{dataset_id!r} resolves to a local flat corpus, which is "
+                "stored post-conversion — the converter argument is "
+                "ignored", stacklevel=2,
+            )
         return cls(
             dataset_id=dataset_id,
-            data=OfflineDataset.from_npz(npz),
+            data=data,
             env_name=meta.get("env"),
             ref_min=meta.get("ref_min"),
             ref_max=meta.get("ref_max"),

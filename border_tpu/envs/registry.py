@@ -51,6 +51,15 @@ def _register_builtins() -> None:
 
     register("Reacher-v0", Reacher)
     register("ReacherFlat-v0", lambda: FlattenDictWrapper(Reacher()))
+    # goal-conditioned flat view: observation ‖ desired_goal, matching
+    # GoalDictConverter's key order — the recovered env for dict-obs
+    # offline corpora (≙ MinariEnv recovery, border-minari/src/env.rs)
+    register(
+        "ReacherGoal-v0",
+        lambda: FlattenDictWrapper(
+            Reacher(), keys=("observation", "desired_goal")
+        ),
+    )
 
 
 _register_builtins()

@@ -40,6 +40,29 @@ class MLP(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype)(x).astype(jnp.float32)
 
 
+class DuelingMLP(nn.Module):
+    """Dueling Q-head (Wang et al. 2016): shared trunk → V(s) + A(s,a),
+    Q = V + A − mean(A).  A beyond-reference stabilizer for value
+    estimation (the reference's DQN has no dueling variant); enabled via
+    ``DQNConfig(dueling=True)``."""
+
+    out_dim: int
+    hidden: Sequence[int] = (64, 64)
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = ACTIVATIONS[self.activation]
+        x = x.astype(self.dtype)
+        for h in self.hidden:
+            x = act(nn.Dense(h, dtype=self.dtype)(x))
+        v = nn.Dense(1, dtype=self.dtype)(x)
+        a = nn.Dense(self.out_dim, dtype=self.dtype)(x)
+        q = v + a - jnp.mean(a, axis=-1, keepdims=True)
+        return q.astype(jnp.float32)
+
+
 class GaussianHeadMLP(nn.Module):
     """Two-headed (mean, log_std) MLP for stochastic actors
     (≙ Mlp2, mlp/mlp2.rs; GaussianActor clamp range
