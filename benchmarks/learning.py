@@ -159,11 +159,15 @@ def _build(config: str, seed: int):
     return env, agent, buffer, cfg, evaluator, meta
 
 
-def run(config: str, seed: int, out: str) -> float:
+def run(config: str, seed: int, out: str, max_opts=None) -> float:
     from border_tpu.record import BufferedRecorder
     from border_tpu.train import Trainer
 
     env, agent, buffer, cfg, evaluator, meta = _build(config, seed)
+    if max_opts:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, max_opts=max_opts)
 
     curve = []
     extra = {}
@@ -255,13 +259,17 @@ def main():
                                       "pong_host", "assemble"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
+    p.add_argument("--max-opts", type=int, default=0,
+                   help="override the config's max_opts (shorter extra-seed "
+                        "runs: the gate scores the best checkpoint, not the "
+                        "curve length)")
     args = p.parse_args()
     if args.config == "assemble":
         assemble(args.out or os.path.join(ARTIFACTS, "..", "LEARNING_r2.json"))
         return
     out = args.out or os.path.join(ARTIFACTS, f"{args.config}_curve.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    run(args.config, args.seed, out)
+    run(args.config, args.seed, out, max_opts=args.max_opts or None)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,16 @@ def parse_args(argv=None):
                         "Pong with the frame-dedup replay")
     p.add_argument("--chunks", type=int, default=10)
     p.add_argument("--envs-per-dev", type=int, default=512)
+    p.add_argument("--mode", choices=["weak", "constant-work"],
+                   default="weak",
+                   help="weak: fixed work PER DEVICE (true scaling — "
+                        "meaningful on real chips, where each device adds "
+                        "compute); constant-work: fixed TOTAL work spread "
+                        "over more shards (the sharding-overhead "
+                        "measurement a virtual CPU mesh can certify — "
+                        "virtual devices share the host cores, so weak "
+                        "efficiency there measures oversubscription, not "
+                        "the program)")
     p.add_argument("--multiprocess", type=int, default=1,
                    help="split the measurement over N OS processes "
                         "(CPU: gloo backend; pods: one process per host)")
@@ -124,6 +134,10 @@ def measure(n_dev: int, args) -> float:
     from border_tpu.train import TrainerConfig
 
     mesh = make_mesh(("actors",), devices=jax.devices()[:n_dev])
+    # constant-work: total envs/batch fixed at the full-mesh size, so
+    # larger meshes shard the SAME program — throughput should stay flat
+    # if sharding adds no overhead
+    n_max = jax.device_count() if args.mode == "constant-work" else n_dev
     if args.config == "pixel":
         from border_tpu.models import AtariCNN
 
@@ -131,11 +145,11 @@ def measure(n_dev: int, args) -> float:
         agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n),
                               double_dqn=True, lr=1e-4))
         envs_per_dev = min(args.envs_per_dev, 128)
-        num_envs = envs_per_dev * n_dev
+        num_envs = envs_per_dev * n_max
         buffer = FrameReplayBuffer(capacity=128, num_envs=num_envs)
         cfg = TrainerConfig(
             num_envs=num_envs, steps_per_chunk=16,
-            batch_size=64 * n_dev, opt_interval=256,
+            batch_size=64 * n_max, opt_interval=256,
             warmup_period=0, max_opts=10**9,
         )
     else:
@@ -143,9 +157,9 @@ def measure(n_dev: int, args) -> float:
         agent = DQN(DQNConfig(double_dqn=True))
         buffer = ReplayBuffer(capacity=16_384)
         cfg = TrainerConfig(
-            num_envs=args.envs_per_dev * n_dev,
+            num_envs=args.envs_per_dev * n_max,
             steps_per_chunk=64,
-            batch_size=256 * n_dev,
+            batch_size=256 * n_max,
             opt_interval=256,
             warmup_period=0,
             max_opts=10**9,
@@ -197,13 +211,15 @@ def main(args):
         eps = measure(n, args)
         if base is None:
             base = eps
-        eff = eps / (base * n)
+        # weak: efficiency vs linear scaling of per-device work;
+        # constant-work: retention of the 1-device throughput
+        eff = eps / (base * n) if args.mode == "weak" else eps / base
         results[str(n)] = {"env_steps_per_sec": round(eps),
                            "efficiency": round(eff, 3)}
         print(f"devices={n:>2}  {eps:>14,.0f} env-steps/s  "
               f"efficiency={eff:.1%}")
     payload = {"metric": "scaling", "env": args.env, "config": args.config,
-               "platform": jax.default_backend(),
+               "mode": args.mode, "platform": jax.default_backend(),
                "devices_available": n_total, "results": results}
     print(json.dumps(payload))
     if args.out:

