@@ -89,7 +89,9 @@ def launch_multiprocess(args):
              "--env", args.env, "--config", args.config,
              "--chunks", str(args.chunks),
              "--envs-per-dev", str(args.envs_per_dev)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            stdout=subprocess.PIPE,
+            stderr=(None if os.environ.get('SCALING_DEBUG') else subprocess.DEVNULL),
+            text=True,
             env=env,
         )
         for i in range(args.multiprocess)
