@@ -12,7 +12,7 @@ run configurations"):
 - ``pong``      — DQN + CNN      (examples/atari/dqn_atari_async_tch/src/config.rs:59-119)
 - ``seaquest``  — IQN + CNN      (border-tch-agent/src/iqn/config.rs:56-60)
 
-``--assemble`` merges the per-config artifacts into LEARNING_r2.json.
+``--assemble`` merges the per-config artifacts into LEARNING_r3.json.
 """
 
 from __future__ import annotations
@@ -237,19 +237,33 @@ def run(config: str, seed: int, out: str, max_opts=None) -> float:
 
 
 def assemble(out: str) -> None:
-    """Merge per-config curve artifacts into one learning-evidence file."""
+    """Merge every per-config per-seed curve artifact into one
+    learning-evidence file."""
+    import glob as _glob
+
     merged = {}
     for name in ("cartpole", "pendulum", "pong", "seaquest",
                  "breakout", "freeway", "pong_host"):
-        path = os.path.join(ARTIFACTS, f"{name}_curve.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                merged[name] = json.load(f)
+        paths = sorted(
+            [p for p in (os.path.join(ARTIFACTS, f"{name}_curve.json"),)
+             if os.path.exists(p)]
+            + _glob.glob(os.path.join(ARTIFACTS, f"{name}_curve_seed*.json"))
+        )
+        seeds = {}
+        for p in paths:
+            with open(p) as f:
+                d = json.load(f)
+            seeds[str(d.get("seed", "?"))] = d
+        if seeds:
+            merged[name] = seeds
     with open(out, "w") as f:
         json.dump(merged, f, indent=1)
-    for name, d in merged.items():
-        best = max((p["best"] for p in d["curve"]), default=None)
-        print(f"{name}: best={best} target={d.get('target')}")
+    for name, seeds in merged.items():
+        for s, d in seeds.items():
+            best = max((p["best"] for p in d["curve"]), default=None)
+            print(f"{name} seed {s}: best={best} "
+                  f"final_median={d.get('final_median')} "
+                  f"target={d.get('target')}")
 
 
 def main():
@@ -265,7 +279,7 @@ def main():
                         "curve length)")
     args = p.parse_args()
     if args.config == "assemble":
-        assemble(args.out or os.path.join(ARTIFACTS, "..", "LEARNING_r2.json"))
+        assemble(args.out or os.path.join(ARTIFACTS, "..", "LEARNING_r3.json"))
         return
     out = args.out or os.path.join(ARTIFACTS, f"{args.config}_curve.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)

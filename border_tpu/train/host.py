@@ -145,6 +145,8 @@ class HostEnvTrainer:
         evaluator: Optional[HostEvaluator] = None,
         n_threads: Optional[int] = None,
         eval_callback=None,
+        checkpoint_manager=None,
+        checkpoint_interval: int = 0,
     ):
         self.env_name = env if isinstance(env, str) else getattr(
             env, "name", type(env).__name__
@@ -157,6 +159,15 @@ class HostEnvTrainer:
         # called after every evaluation with (opt_steps, env_steps, score,
         # best_score) — used to stream learning-curve artifacts
         self.eval_callback = eval_callback
+        # full-state snapshots of the DEVICE side (agent + replay + RNG +
+        # counters).  The host envs are external processes/objects and are
+        # NOT checkpointable — a resumed run restores learning state and
+        # restarts the envs fresh, which is semantically sound (replay
+        # content persists; the env distribution is stationary).  The
+        # reference checkpoints nothing beyond model params at all
+        # (SURVEY.md §5.4).
+        self.checkpoint_manager = checkpoint_manager
+        self.checkpoint_interval = checkpoint_interval
         self.env = _make_host_env(env, config.num_envs, config.seed,
                                   n_threads, train=True)
         if self.env.num_envs != config.num_envs:
@@ -233,7 +244,12 @@ class HostEnvTrainer:
         return agent_state, buf_state, jax.tree.map(jnp.mean, metrics)
 
     # -- orchestration ------------------------------------------------------
-    def train(self, key: Optional[jax.Array] = None) -> TrainResult:
+    def train(self, key: Optional[jax.Array] = None,
+              resume_from=None) -> TrainResult:
+        """``resume_from``: a CheckpointManager whose latest snapshot
+        restores the device-side training state (agent + replay + RNG +
+        loop counters); the host envs restart fresh (see
+        ``checkpoint_manager`` note in __init__)."""
         c = self.config
         key = key if key is not None else jax.random.PRNGKey(c.seed)
         k_agent, k_loop = jax.random.split(key)
@@ -248,13 +264,6 @@ class HostEnvTrainer:
             truncated=jnp.bool_(False),
         ))
 
-        feeder = AsyncEnvFeeder(self.env, step_fn=self.env.step_final)
-        obs = self.env.reset()
-        # device copy of the current obs (in frame mode this is the device-
-        # maintained stack ring; the host uploads only new frames after this)
-        obs_dev = jnp.asarray(obs)
-        ep_len = np.zeros(c.num_envs, np.int32)  # steps in current episode
-
         env_steps = 0
         opt_steps = 0
         best_score = -float("inf")
@@ -262,6 +271,35 @@ class HostEnvTrainer:
         next_eval = c.eval_interval
         next_flush = c.flush_record_interval
         update_debt = 0.0
+        next_ckpt = self.checkpoint_interval
+
+        if resume_from is not None:
+            tmpl_extra = {
+                "env_steps": 0, "opt_steps": 0, "best_score": 0.0,
+                "next_eval": 0, "next_flush": 0, "next_ckpt": 0,
+                "update_debt": 0.0,
+            }
+            restored = resume_from.restore(
+                agent_state, buf_state, key=k_loop, extra=tmpl_extra,
+            )
+            agent_state = restored["agent_state"]
+            buf_state = restored["buffer_state"]
+            k_loop = restored["key"]
+            ex = restored["extra"]
+            env_steps = int(ex["env_steps"])
+            opt_steps = int(ex["opt_steps"])
+            best_score = float(ex["best_score"])
+            next_eval = int(ex["next_eval"])
+            next_flush = int(ex["next_flush"])
+            next_ckpt = int(ex["next_ckpt"])
+            update_debt = float(ex["update_debt"])
+
+        feeder = AsyncEnvFeeder(self.env, step_fn=self.env.step_final)
+        obs = self.env.reset()
+        # device copy of the current obs (in frame mode this is the device-
+        # maintained stack ring; the host uploads only new frames after this)
+        obs_dev = jnp.asarray(obs)
+        ep_len = np.zeros(c.num_envs, np.int32)  # steps in current episode
         wait_time = 0.0
         t0 = time.perf_counter()
         t_window = t0
@@ -345,6 +383,25 @@ class HostEnvTrainer:
                 if opt_steps >= next_flush:
                     self.recorder.flush(opt_steps)
                     next_flush += c.flush_record_interval
+
+                if (
+                    self.checkpoint_manager is not None
+                    and self.checkpoint_interval
+                    and opt_steps >= next_ckpt
+                ):
+                    next_ckpt = opt_steps + self.checkpoint_interval
+                    self.checkpoint_manager.save(
+                        opt_steps, agent_state, buf_state, key=k_loop,
+                        extra={
+                            "env_steps": env_steps,
+                            "opt_steps": opt_steps,
+                            "best_score": best_score,
+                            "next_eval": next_eval,
+                            "next_flush": next_flush,
+                            "next_ckpt": next_ckpt,
+                            "update_debt": update_debt,
+                        },
+                    )
 
                 if self.evaluator is not None and opt_steps >= next_eval:
                     score, eval_rec = self.evaluator.evaluate(

