@@ -107,7 +107,14 @@ class GSPMDTrainer(Trainer):
         vec_state = jax.tree.map(
             lambda x: jax.device_put(x, self._batch_sharding(x)), vec_state
         )
+        # replay storage: leaves with a leading env axis (the frame-dedup
+        # buffer's [num_envs, cap, ...] columns) shard over 'actors' — at
+        # pixel scale the frame ring is the dominant HBM tenant and cannot
+        # be replicated per device; flat [capacity, ...] ring leaves stay
+        # replicated (random gathers are cheapest against a local copy at
+        # MLP sizes)
         buffer_state = jax.tree.map(
-            lambda x: jax.device_put(x, self._replicated(x)), buffer_state
+            lambda x: jax.device_put(x, self._batch_sharding(x)),
+            buffer_state,
         )
         return agent_state, vec_state, buffer_state
