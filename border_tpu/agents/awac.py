@@ -55,6 +55,7 @@ class AWACState:
 
 class AWAC(Agent):
     name = "awac"
+    _model_attrs = ("actor", "critic")
 
     def __init__(self, config: AWACConfig = AWACConfig()):
         self.config = config
@@ -66,8 +67,11 @@ class AWAC(Agent):
         self.act_dim = int(act_space.flat_dim)
         self.act_low = float(jnp.min(jnp.asarray(act_space.low)))
         self.act_high = float(jnp.max(jnp.asarray(act_space.high)))
-        self.actor = GaussianHeadMLP(act_dim=self.act_dim, hidden=tuple(c.actor_hidden))
-        self.critic = MLP(out_dim=1, hidden=tuple(c.critic_hidden))
+        self._bind_models(
+            actor=GaussianHeadMLP(act_dim=self.act_dim,
+                                  hidden=tuple(c.actor_hidden)),
+            critic=MLP(out_dim=1, hidden=tuple(c.critic_hidden)),
+        )
         k_a, k_c = jax.random.split(key)
         dummy_obs = obs_space.zero()[None]
         dummy_act = act_space.zero().reshape(1, -1)

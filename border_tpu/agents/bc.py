@@ -42,6 +42,7 @@ class BCState:
 
 class BC(Agent):
     name = "bc"
+    _model_attrs = ("net",)
 
     def __init__(self, config: BCConfig = BCConfig()):
         self.config = config
@@ -54,7 +55,7 @@ class BC(Agent):
         else:
             out_dim = int(act_space.flat_dim)
             self.act_shape = act_space.shape
-        self.net = MLP(out_dim=out_dim, hidden=tuple(c.hidden))
+        self._bind_models(net=MLP(out_dim=out_dim, hidden=tuple(c.hidden)))
         params = self.net.init(key, obs_space.zero()[None])
         return BCState(
             params=params,

@@ -89,6 +89,7 @@ class DQNState:
 
 class DQN(Agent):
     name = "dqn"
+    _model_attrs = ("net",)
 
     def __init__(self, config: DQNConfig = DQNConfig()):
         self.config = config
@@ -109,15 +110,16 @@ class DQN(Agent):
     # -- construction ------------------------------------------------------
     def init(self, key: jax.Array, obs_space: spaces.Space, act_space: spaces.Discrete) -> DQNState:
         if self.config.model is not None:
-            self.net = self.config.model(act_space.n)
+            net = self.config.model(act_space.n)
         elif self.config.dueling:
             from border_tpu.models.mlp import DuelingMLP
 
-            self.net = DuelingMLP(
+            net = DuelingMLP(
                 out_dim=act_space.n, hidden=tuple(self.config.hidden)
             )
         else:
-            self.net = MLP(out_dim=act_space.n, hidden=tuple(self.config.hidden))
+            net = MLP(out_dim=act_space.n, hidden=tuple(self.config.hidden))
+        self._bind_models(net=net)
         dummy = obs_space.zero()[None]
         params = self.net.init(key, dummy)
         return DQNState(

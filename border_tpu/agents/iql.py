@@ -58,6 +58,7 @@ class IQLState:
 
 class IQL(Agent):
     name = "iql"
+    _model_attrs = ("actor", "critic", "value")
 
     def __init__(self, config: IQLConfig = IQLConfig()):
         self.config = config
@@ -70,9 +71,12 @@ class IQL(Agent):
         self.act_dim = int(act_space.flat_dim)
         self.act_low = float(jnp.min(jnp.asarray(act_space.low)))
         self.act_high = float(jnp.max(jnp.asarray(act_space.high)))
-        self.actor = GaussianHeadMLP(act_dim=self.act_dim, hidden=tuple(c.actor_hidden))
-        self.critic = MLP(out_dim=1, hidden=tuple(c.critic_hidden))
-        self.value = MLP(out_dim=1, hidden=tuple(c.value_hidden))
+        self._bind_models(
+            actor=GaussianHeadMLP(act_dim=self.act_dim,
+                                  hidden=tuple(c.actor_hidden)),
+            critic=MLP(out_dim=1, hidden=tuple(c.critic_hidden)),
+            value=MLP(out_dim=1, hidden=tuple(c.value_hidden)),
+        )
         k_a, k_c, k_v = jax.random.split(key, 3)
         dummy_obs = obs_space.zero()[None]
         dummy_act = act_space.zero().reshape(1, -1)

@@ -86,6 +86,7 @@ class IQNState:
 
 class IQN(Agent):
     name = "iqn"
+    _model_attrs = ("net",)
 
     def __init__(self, config: IQNConfig = IQNConfig()):
         self.config = config
@@ -94,14 +95,14 @@ class IQN(Agent):
     def init(self, key: jax.Array, obs_space: spaces.Space, act_space: spaces.Discrete) -> IQNState:
         c = self.config
         self.n_actions = act_space.n
-        self.net = IQNNet(
+        self._bind_models(net=IQNNet(
             out_dim=act_space.n,
             feature_dim=c.feature_dim,
             n_cos=c.n_cos,
             psi_hidden=tuple(c.hidden),
             f_hidden=tuple(c.hidden),
             psi_fn=c.psi_fn,
-        )
+        ))
         dummy_obs = obs_space.zero()[None]
         dummy_tau = jnp.zeros((1, 8), jnp.float32)
         params = self.net.init(key, dummy_obs, dummy_tau)

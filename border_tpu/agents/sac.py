@@ -82,6 +82,7 @@ class SACState:
 
 class SAC(Agent):
     name = "sac"
+    _model_attrs = ("actor", "critic")
 
     def __init__(self, config: SACConfig = SACConfig()):
         self.config = config
@@ -101,8 +102,11 @@ class SAC(Agent):
         self.target_entropy = (
             c.target_entropy if c.target_entropy is not None else -float(self.act_dim)
         )
-        self.actor = GaussianHeadMLP(act_dim=self.act_dim, hidden=tuple(c.actor_hidden))
-        self.critic = MLP(out_dim=1, hidden=tuple(c.critic_hidden))
+        self._bind_models(
+            actor=GaussianHeadMLP(act_dim=self.act_dim,
+                                  hidden=tuple(c.actor_hidden)),
+            critic=MLP(out_dim=1, hidden=tuple(c.critic_hidden)),
+        )
 
         k_actor, k_critic = jax.random.split(key)
         dummy_obs = obs_space.zero()[None]

