@@ -14,11 +14,14 @@ time) — score is crossings-per-episode.  Runs under
 Start-state variety comes from randomized car phases (≙ noop-reset
 entropy, env.rs:263-299).
 
-Documented divergence: the chicken crosses faster relative to the timer
-than ALE's (a crossing ≈ 54 unobstructed frames), so episode scores run
-higher than ALE Freeway's ~30 ceiling — DQN reaches ~114 crossings/episode
-(artifacts/freeway_curve.json) from a near-zero random baseline; the
-learning dynamics (sparse +1 on crossing, collision setbacks) match.
+Documented divergence: the chicken still crosses ~2.5× faster relative
+to the timer than ALE's (a crossing ≈ 108 unobstructed frames vs ALE's
+~270), giving a ~75-crossing ceiling vs ALE Freeway's ~34 — closer than
+round 2's ~150 ceiling (VERDICT r2 missing #3: reward scales pushed
+toward ALE's where cheap), while a decaying ε-greedy can still discover
+the first full crossings.  Scores are comparable across rounds of THIS
+game only, never to ALE numbers; the learning dynamics (sparse +1 on
+crossing, collision setbacks, fixed timer) match.
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ CHICKEN_X = 0.5
 # ALE proportions: the chicken crosses the 10 lanes in a few dozen presses
 # and a hit sets it back roughly one lane — keeps ε-greedy exploration able
 # to score (DQN-paper Freeway learns from near-zero random returns)
-CHICKEN_SPEED = 0.016  # vertical speed per emulator frame
+CHICKEN_SPEED = 0.008  # vertical speed per emulator frame
 START_Y = 0.92
 GOAL_Y = 0.06
 CAR_HALF_W = 0.045
