@@ -21,8 +21,10 @@ Timing methodology: every timed window ends with a device_get of a leaf of
 every output PLUS block_until_ready, because on the tunneled `axon`
 platform dispatch is deeply asynchronous and block_until_ready alone was
 measured returning before compute finished (apparent 47M env-steps/s ≈ 3.8
-PFLOP/s — physically impossible on one v5e).  With honest syncs the fused
-Pong config runs ~850 batch-512 CNN updates/s ≈ 65 % MXU utilization.
+PFLOP/s — physically impossible on one v5e).  With honest syncs the round-2
+fused Pong config ran ~850 batch-512 CNN updates/s ≈ 21 % of bf16 peak
+(the FLOP arithmetic is in ARCHITECTURE.md "Utilization arithmetic";
+benchmarks/profile_update.py measures each piece on the real chip).
 """
 
 from __future__ import annotations

@@ -45,7 +45,7 @@ ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 # re-implemented game band (asserts the agent genuinely learns).
 TARGETS = {"cartpole": 200.0, "pendulum": -200.0, "pong": 18.0,
            "seaquest": 200.0, "breakout": 100.0, "freeway": 30.0,
-           "pong_host": 18.0}
+           "spaceinvaders": 500.0, "pong_host": 18.0}
 
 
 def _build(config: str, seed: int):
@@ -122,17 +122,36 @@ def _build(config: str, seed: int):
                               max_steps=3_000)
         meta = {"env": "Breakout-v0", "agent": "DQN+AtariCNN"}
     elif config == "freeway":
+        # r3 dynamics (chicken at ALE-like crossing cadence) make the +1
+        # ~2× sparser than round 2's: a crossing needs ~27 net-UP env
+        # steps, so 1-step bootstrap chains too slowly and ε-greedy needs
+        # longer to keep finding crossings — n-step-3 backups + γ 0.995 +
+        # a 1M-step ε anneal recover learning (DQN-paper Freeway itself
+        # is the sparse-reward stress case)
         env = make("Freeway-v0")
         agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                              gamma=0.995,
                               double_dqn=True, soft_update_interval=2_000,
-                              tau=1.0, eps_final_step=500_000))
+                              tau=1.0, eps_final_step=1_000_000))
         cfg = TrainerConfig(max_opts=30_000, warmup_period=50_000,
                             opt_interval=64, batch_size=512, num_envs=512,
                             steps_per_chunk=32, eval_interval=2_000, seed=seed)
-        buffer = FrameReplayBuffer(capacity=512, num_envs=512)
+        buffer = FrameReplayBuffer(capacity=512, num_envs=512, n_step=3)
         evaluator = Evaluator(make("Freeway-v0", train=False), n_episodes=5,
                               max_steps=2_100)
         meta = {"env": "Freeway-v0", "agent": "DQN+AtariCNN"}
+    elif config == "spaceinvaders":
+        env = make("SpaceInvaders-v0")
+        agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                              double_dqn=True, soft_update_interval=2_000,
+                              tau=1.0, eps_final_step=1_000_000))
+        cfg = TrainerConfig(max_opts=30_000, warmup_period=50_000,
+                            opt_interval=64, batch_size=512, num_envs=512,
+                            steps_per_chunk=32, eval_interval=2_000, seed=seed)
+        buffer = FrameReplayBuffer(capacity=512, num_envs=512, n_step=3)
+        evaluator = Evaluator(make("SpaceInvaders-v0", train=False),
+                              n_episodes=5, max_steps=3_000)
+        meta = {"env": "SpaceInvaders-v0", "agent": "DQN+AtariCNN (n-step 3)"}
     elif config == "pong_host":
         # the reference's actual Atari architecture at pixel scale: 84×84
         # uint8 frames from the host C++ envpool → device learner with
@@ -243,7 +262,7 @@ def assemble(out: str) -> None:
 
     merged = {}
     for name in ("cartpole", "pendulum", "pong", "seaquest",
-                 "breakout", "freeway", "pong_host"):
+                 "breakout", "freeway", "spaceinvaders", "pong_host"):
         paths = sorted(
             [p for p in (os.path.join(ARTIFACTS, f"{name}_curve.json"),)
              if os.path.exists(p)]
@@ -270,7 +289,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("config", choices=["cartpole", "pendulum", "pong",
                                       "seaquest", "breakout", "freeway",
-                                      "pong_host", "assemble"])
+                                      "spaceinvaders", "pong_host",
+                                      "assemble"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
     p.add_argument("--max-opts", type=int, default=0,

@@ -41,11 +41,13 @@ def _register_builtins() -> None:
     from border_tpu.envs.seaquest import make_seaquest
 
     from border_tpu.envs.freeway import make_freeway
+    from border_tpu.envs.space_invaders import make_space_invaders
 
     register("Pong-v0", make_pong)
     register("Breakout-v0", make_breakout)
     register("Seaquest-v0", make_seaquest)
     register("Freeway-v0", make_freeway)
+    register("SpaceInvaders-v0", make_space_invaders)
 
     from border_tpu.envs.reacher import FlattenDictWrapper, Reacher
 

@@ -1,0 +1,128 @@
+"""SpaceInvaders behavioral tests (5th pixel game).
+
+Mirrors the per-game mechanics checks of tests/test_pixel_envs.py: obs
+format, scoring, lives/episodic-life semantics, shield erosion, grid
+march/descent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from border_tpu.core.env import VecEnv
+from border_tpu.envs import make
+from border_tpu.envs.space_invaders import (
+    LIVES,
+    ROWS,
+    COLS,
+    SHIELD_HP,
+)
+
+
+def test_obs_format_and_random_rollout():
+    env = make("SpaceInvaders-v0")
+    vec = VecEnv(env, 4)
+    state = vec.reset(jax.random.PRNGKey(0))
+    assert state.obs.shape == (4, 84, 84, 4)
+    assert state.obs.dtype == jnp.uint8
+
+    @jax.jit
+    def roll(state, key):
+        def body(st, k):
+            acts = jax.random.randint(k, (4,), 0, 6)
+            ts, st = vec.step(st, acts)
+            return st, (ts.reward, ts.terminated)
+
+        keys = jax.random.split(key, 500)
+        return jax.lax.scan(body, state, keys)
+
+    state, (rew, term) = roll(state, jax.random.PRNGKey(1))
+    rew, term = np.asarray(rew), np.asarray(term)
+    # random play fires sometimes → kills some aliens (train mode sign-clips
+    # to +1 per kill); bombs eventually hit → episodic-life terminations
+    assert rew.sum() > 0
+    assert term.sum() > 0
+
+
+def test_fire_straight_up_scores_and_one_alien_dies():
+    env = make("SpaceInvaders-v0", train=False)
+    params = env.default_params
+    obs, state = env.reset_env(jax.random.PRNGKey(3), params)
+    step = jax.jit(lambda k, s, a: env.step_env(k, s, a, params))
+    n0 = int(state.game.aliens.sum())
+    assert n0 == ROWS * COLS
+    key = jax.random.PRNGKey(4)
+    total = 0.0
+    for i in range(400):
+        key, k = jax.random.split(key)
+        obs, state, r, term, trunc, _ = step(k, state, jnp.int32(1))
+        total += float(r)
+        if bool(term):
+            break
+    assert total > 0.0, "always-FIRE never scored"
+    assert int(state.game.aliens.sum()) < n0
+    # eval mode: raw ALE row scores (multiples of 5, ≥ 5 per kill)
+    assert total % 5 == 0 and total >= 5
+
+
+def test_lives_and_episodic_life():
+    """A bomb hit costs a life; in train mode that ends the learning
+    episode WITHOUT resetting the game (PixelEnv.post_done_state)."""
+    env = make("SpaceInvaders-v0", train=True)
+    vec = VecEnv(env, 8)
+    state = vec.reset(jax.random.PRNGKey(5))
+
+    @jax.jit
+    def roll(state, key):
+        def body(st, k):
+            # stand still: bombs find the cannon eventually
+            ts, st = vec.step(st, jnp.zeros((8,), jnp.int32))
+            return st, (ts.terminated, st.env_state.game.lives)
+
+        keys = jax.random.split(key, 700)
+        return jax.lax.scan(body, state, keys)
+
+    state, (term, lives_t) = roll(state, jax.random.PRNGKey(6))
+    lives_t = np.asarray(lives_t)  # [T, 8]
+    # bombs hit: lives dropped below the initial count at some point
+    # (the FINAL state may have auto-reset back to full lives)
+    assert (lives_t < LIVES).any(), "no bomb ever hit a stationary cannon"
+    # episodic life: each life loss terminated a learning episode
+    assert np.asarray(term).sum() > 0
+    # life losses decrement one at a time (never jump to 0 from 3)
+    drops = lives_t[1:] - lives_t[:-1]
+    assert drops.min() >= -1
+
+
+def test_shields_erode():
+    env = make("SpaceInvaders-v0", train=False)
+    params = env.default_params
+    obs, state = env.reset_env(jax.random.PRNGKey(7), params)
+    # park the cannon under the middle shield and fire repeatedly
+    game = state.game.replace(cannon_x=jnp.float32(0.5))
+    state = state.replace(game=game)
+    step = jax.jit(lambda k, s, a: env.step_env(k, s, a, params))
+    key = jax.random.PRNGKey(8)
+    for i in range(60):
+        key, k = jax.random.split(key)
+        obs, state, r, term, trunc, _ = step(k, state, jnp.int32(1))
+    hp = np.asarray(state.game.shields)
+    assert (hp < SHIELD_HP).any(), "firing through a shield never eroded it"
+
+
+def test_grid_marches_and_descends():
+    env = make("SpaceInvaders-v0", train=False)
+    params = env.default_params
+    obs, state = env.reset_env(jax.random.PRNGKey(9), params)
+    step = jax.jit(lambda k, s, a: env.step_env(k, s, a, params))
+    y0 = float(state.game.grid_y)
+    xs = []
+    key = jax.random.PRNGKey(10)
+    for i in range(900):
+        key, k = jax.random.split(key)
+        obs, state, r, term, trunc, _ = step(k, state, jnp.int32(0))
+        xs.append(float(state.game.grid_x))
+        if float(state.game.grid_y) > y0:
+            break
+    assert max(xs) - min(xs) > 0.01, "grid never marched"
+    assert float(state.game.grid_y) > y0, "grid never descended at an edge"
