@@ -70,6 +70,13 @@ class DQNConfig:
     hidden: Sequence[int] = (64, 64)
     dueling: bool = False  # dueling V+A head (beyond-reference stabilizer)
     model: Any = None  # optional custom flax module factory (e.g. AtariCNN)
+    # next_obs forward strategy for the TD target:
+    #   "separate" — online-argmax forward and target forward as two
+    #                program invocations (the reference's shape),
+    #   "stacked"  — ONE vmapped apply over stacked {params, target_params}
+    #                (same FLOPs, half the dispatches, wider batched convs
+    #                for XLA to tile — benchmarks/update_variants.py).
+    next_forward: str = "separate"
     # Clip PER-TRANSITION rewards to [-c, c] at update time.  Only valid
     # with 1-step buffers: an n-step batch's reward is the accumulated
     # return, and clipping the sum diverges from canonical n-step DQN
@@ -167,12 +174,22 @@ class DQN(Agent):
         if c.clip_reward is not None:
             reward = jnp.clip(reward, -c.clip_reward, c.clip_reward)
 
-        q_next_tgt = self.net.apply(state.target_params, next_obs)  # [B, A]
-        if c.double_dqn:
-            # argmax from online net, value from target (dqn/base.rs:91-105)
-            a_star = jnp.argmax(self.net.apply(state.params, next_obs), axis=-1)
+        if c.next_forward == "stacked" and c.double_dqn:
+            # one vmapped forward over stacked {online, target} params —
+            # numerically identical to the two separate applies
+            both = jax.tree.map(
+                lambda a, b: jnp.stack([a, b]), state.params, state.target_params
+            )
+            q2 = jax.vmap(lambda p: self.net.apply(p, next_obs))(both)
+            q_next_on, q_next_tgt = q2[0], q2[1]  # [B, A] each
+            a_star = jnp.argmax(q_next_on, axis=-1)
         else:
-            a_star = jnp.argmax(q_next_tgt, axis=-1)
+            q_next_tgt = self.net.apply(state.target_params, next_obs)  # [B, A]
+            if c.double_dqn:
+                # argmax from online net, value from target (dqn/base.rs:91-105)
+                a_star = jnp.argmax(self.net.apply(state.params, next_obs), axis=-1)
+            else:
+                a_star = jnp.argmax(q_next_tgt, axis=-1)
         q_next = jnp.take_along_axis(q_next_tgt, a_star[:, None], axis=-1)[:, 0]
         target = reward + bootstrap_discount(c.gamma, batch) * q_next
         target = jax.lax.stop_gradient(target)
