@@ -70,13 +70,16 @@ class DQNConfig:
     hidden: Sequence[int] = (64, 64)
     dueling: bool = False  # dueling V+A head (beyond-reference stabilizer)
     model: Any = None  # optional custom flax module factory (e.g. AtariCNN)
-    # next_obs forward strategy for the TD target:
-    #   "separate" — online-argmax forward and target forward as two
-    #                program invocations (the reference's shape),
+    # next_obs forward strategy for the double-DQN TD target:
     #   "stacked"  — ONE vmapped apply over stacked {params, target_params}
     #                (same FLOPs, half the dispatches, wider batched convs
-    #                for XLA to tile — benchmarks/update_variants.py).
-    next_forward: str = "separate"
+    #                for XLA to tile; numerics-identical — test_agents).
+    #                Measured ≥ "separate" at every batch size on the fused
+    #                Pong config (artifacts/update_variants_inscan.json) —
+    #                the TPU-first default.
+    #   "separate" — online-argmax forward and target forward as two
+    #                applies (the reference's shape, dqn/base.rs:91-105).
+    next_forward: str = "stacked"
     # Clip PER-TRANSITION rewards to [-c, c] at update time.  Only valid
     # with 1-step buffers: an n-step batch's reward is the accumulated
     # return, and clipping the sum diverges from canonical n-step DQN

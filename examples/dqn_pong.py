@@ -1,13 +1,16 @@
-"""DQN on Pong — the flagship pixel-env config.
+"""DQN on the pixel games — the flagship pixel-env config.
 
 ≙ examples/atari/dqn_atari_tch (sync) /dqn_atari_async_tch (async) in the
 reference: DQN-paper CNN, frame-skip-4 + max-pool + 84×84 gray + stack-4 +
 sign reward clip (border-atari-env/src/env.rs:126-199), double DQN, hard
 target swap every 10k updates (τ=1.0, dqn_atari_async_tch/src/config.rs:59-119)
-— rebuilt as the fused vectorized trainer.
+— rebuilt as the fused vectorized trainer.  Like the reference's single
+dqn_atari binary parameterized by ROM name, ``--env`` selects any of the
+five on-device games (Pong/Breakout/Seaquest/Freeway/SpaceInvaders).
 
 Usage:
   python examples/dqn_pong.py --max-opts 100000 --num-envs 1024 --out /tmp/pong
+  python examples/dqn_pong.py --env SpaceInvaders-v0 --n-step 3
 """
 
 import argparse
@@ -46,6 +49,20 @@ def main():
     p.add_argument("--eval-interval", type=int, default=5_000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--env",
+        type=str,
+        default="Pong-v0",
+        choices=["Pong-v0", "Breakout-v0", "Seaquest-v0", "Freeway-v0",
+                 "SpaceInvaders-v0"],
+        help="any of the five on-device pixel games (≙ the reference's "
+             "single dqn_atari binary × ROM name, examples/atari/dqn_atari)",
+    )
+    p.add_argument(
+        "--n-step", type=int, default=1,
+        help="n-step backups (sparse-reward games: Freeway/SpaceInvaders "
+             "train with 3)",
+    )
+    p.add_argument(
         "--curve-out",
         type=str,
         default="",
@@ -53,8 +70,8 @@ def main():
     )
     args = p.parse_args()
 
-    env = make("Pong-v0")  # train mode: sign reward clip
-    eval_env = make("Pong-v0", train=False)  # raw scores for eval
+    env = make(args.env)  # train mode: sign reward clip
+    eval_env = make(args.env, train=False)  # raw scores for eval
     agent = DQN(
         DQNConfig(
             model=lambda n: AtariCNN(out_dim=n),
@@ -80,7 +97,8 @@ def main():
         flush_record_interval=1_000,
         seed=args.seed,
     )
-    buffer = FrameReplayBuffer(capacity=args.capacity_per_env, num_envs=args.num_envs)
+    buffer = FrameReplayBuffer(capacity=args.capacity_per_env,
+                               num_envs=args.num_envs, n_step=args.n_step)
     if args.tensorboard:
         recorder = TensorboardRecorder(args.out)
     else:
