@@ -72,14 +72,17 @@ class DQNConfig:
     model: Any = None  # optional custom flax module factory (e.g. AtariCNN)
     # next_obs forward strategy for the double-DQN TD target:
     #   "stacked"  — ONE vmapped apply over stacked {params, target_params}
-    #                (same FLOPs, half the dispatches, wider batched convs
-    #                for XLA to tile; numerics-identical — test_agents).
-    #                Measured ≥ "separate" at every batch size on the fused
-    #                Pong config (artifacts/update_variants_inscan.json) —
-    #                the TPU-first default.
+    #                (same FLOPs, half the dispatches; numerics-identical —
+    #                test_agents).  Measured ≥ "separate" at every batch
+    #                size on the fused Pong CNN config
+    #                (artifacts/update_variants_inscan.json).
     #   "separate" — online-argmax forward and target forward as two
     #                applies (the reference's shape, dqn/base.rs:91-105).
-    next_forward: str = "stacked"
+    #                ~20% faster than stacked for the tiny-MLP configs
+    #                (vmapped-params GEMMs pay more than they save there).
+    #   None       — auto: "stacked" for custom models (the CNN path),
+    #                "separate" for the built-in MLPs.
+    next_forward: Optional[str] = None
     # Clip PER-TRANSITION rewards to [-c, c] at update time.  Only valid
     # with 1-step buffers: an n-step batch's reward is the accumulated
     # return, and clipping the sum diverges from canonical n-step DQN
@@ -177,7 +180,10 @@ class DQN(Agent):
         if c.clip_reward is not None:
             reward = jnp.clip(reward, -c.clip_reward, c.clip_reward)
 
-        if c.next_forward == "stacked" and c.double_dqn:
+        next_forward = c.next_forward or (
+            "stacked" if c.model is not None else "separate"
+        )
+        if next_forward == "stacked" and c.double_dqn:
             # one vmapped forward over stacked {online, target} params —
             # numerically identical to the two separate applies
             both = jax.tree.map(
