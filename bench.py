@@ -59,11 +59,8 @@ def gate() -> int:
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
     # pong_host demonstrates the host-C++-envpool architecture at pixel
     # scale (one seed: the learning claim is carried by the 3-seed on-device
-    # pong config, same game + agent).  spaceinvaders is the round-3 fifth
-    # game: two committed seeds (seed 0: 300→1349 curve, median 924 over
-    # the last 5 evals; seed 1: fresh best-checkpoint evals median 1091) —
-    # a third seed in round 4 drops this back to the 3-seed rule.
-    MIN_SEEDS = {"pong_host": 1, "spaceinvaders": 2}
+    # pong config, same game + agent)
+    MIN_SEEDS = {"pong_host": 1}
     results = {}
     ok = True
     for name in ("cartpole", "pendulum", "pong", "seaquest",
