@@ -125,18 +125,23 @@ def _build(config: str, seed: int):
         # r3 dynamics (chicken at ALE-like crossing cadence) make the +1
         # ~2× sparser than round 2's: a crossing needs ~27 net-UP env
         # steps, so 1-step bootstrap chains too slowly and ε-greedy needs
-        # longer to keep finding crossings — n-step-3 backups + γ 0.995 +
-        # a 1M-step ε anneal recover learning (DQN-paper Freeway itself
-        # is the sparse-reward stress case)
+        # longer to keep finding crossings — n-step-3 backups + a 1M-step
+        # ε anneal recover learning (DQN-paper Freeway itself is the
+        # sparse-reward stress case).  γ is 0.99 END-TO-END: the r3 runs
+        # set agent γ 0.995 but the buffer's default 0.99 actually drove
+        # both the n-step sum and the bootstrap discount (ADVICE r3 #1) —
+        # the committed seeds trained and passed with effective 0.99, so
+        # that is the recorded config; Trainer now rejects a mismatch.
         env = make("Freeway-v0")
         agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
-                              gamma=0.995,
+                              gamma=0.99,
                               double_dqn=True, soft_update_interval=2_000,
                               tau=1.0, eps_final_step=1_000_000))
         cfg = TrainerConfig(max_opts=30_000, warmup_period=50_000,
                             opt_interval=64, batch_size=512, num_envs=512,
                             steps_per_chunk=32, eval_interval=2_000, seed=seed)
-        buffer = FrameReplayBuffer(capacity=512, num_envs=512, n_step=3)
+        buffer = FrameReplayBuffer(capacity=512, num_envs=512, n_step=3,
+                                   gamma=0.99)
         evaluator = Evaluator(make("Freeway-v0", train=False), n_episodes=5,
                               max_steps=2_100)
         meta = {"env": "Freeway-v0", "agent": "DQN+AtariCNN"}

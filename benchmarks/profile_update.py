@@ -49,13 +49,21 @@ def timeit(fn, *args, iters=30, warmup=3):
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
+RESULTS: dict = {}
+
+
 def report(name, ms, mflop_per_sample, batch):
     tf = mflop_per_sample * batch / ms / 1e6  # TFLOP/s
     print(f"{name:<44s} {ms:8.3f} ms   {tf:7.1f} TF/s "
           f"({tf / 197 * 100:4.1f}% of 197 bf16 peak)")
+    RESULTS[f"{name} [b{batch}]"] = {
+        "ms": round(ms, 3), "tflops": round(tf, 1),
+        "pct_peak": round(tf / 197 * 100, 1),
+    }
 
 
 def main():
+    RESULTS.clear()
     key = jax.random.PRNGKey(0)
     net = AtariCNN(out_dim=A)
     agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
@@ -101,6 +109,19 @@ def main():
         sc = state
         ms = timeit(lambda s: upd(s, batch, key), sc, iters=30)
         report("agent.update (5 fwd-eq)", ms, 5 * FWD_MF, B)
+
+        # XLA's own model of the update program: flops + memory traffic
+        try:
+            ca = (jax.jit(lambda s, b, k: agent.update(s, b, k)[0])
+                  .lower(sc, batch, key).compile().cost_analysis())
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            RESULTS[f"agent.update cost_analysis [b{B}]"] = {
+                k: float(ca[k]) for k in ("flops", "bytes accessed")
+                if k in ca
+            }
+        except Exception as e:  # noqa: BLE001
+            RESULTS[f"agent.update cost_analysis [b{B}]"] = repr(e)
 
         # variant: fused online forward on [obs; next_obs] (one 2B-batch
         # conv stack instead of separate B-batch fwd for the double argmax)
@@ -159,7 +180,13 @@ def main():
         per_upd = ms / tr.updates_per_chunk
         print(f"{name:<44s} {ms:8.1f} ms"
               + (f"   {1e3 / per_upd:7.1f} updates/s" if du else ""))
+        RESULTS[name] = {"ms": round(ms, 1)}
+        if du:
+            RESULTS[name]["updates_per_sec"] = round(1e3 / per_upd, 1)
+    return dict(RESULTS)
 
 
 if __name__ == "__main__":
-    main()
+    import json
+
+    print(json.dumps({"metric": "profile_update", "results": main()}))

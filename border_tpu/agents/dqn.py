@@ -105,6 +105,13 @@ class DQN(Agent):
     _model_attrs = ("net",)
 
     def __init__(self, config: DQNConfig = DQNConfig()):
+        if config.next_forward not in (None, "stacked", "separate"):
+            from border_tpu.errors import ConfigError
+
+            raise ConfigError(
+                f"next_forward must be 'stacked', 'separate', or None "
+                f"(auto), got {config.next_forward!r}"
+            )
         self.config = config
         self.tx = self._make_tx()
 

@@ -170,9 +170,12 @@ class SpaceInvaders(PixelGame):
         in_y = jnp.abs(ay - shot_y) <= ALIEN_HALF_H + 0.012
         hit_mask = state.aliens & in_x & in_y & shot_live
         any_hit = hit_mask.any()
-        # kill exactly one alien (the first hit in scan order)
+        # kill exactly one alien: the BOTTOM-most in-band candidate — an
+        # upward shot meets the lowest alien first (when the ±0.03 hit band
+        # spans two grid rows, row-major argmax used to kill the top one,
+        # inflating scores: top rows are worth 30 vs 5)
         hit_flat = hit_mask.ravel()
-        first = jnp.argmax(hit_flat)
+        first = ROWS * COLS - 1 - jnp.argmax(hit_flat[::-1])
         kill = hit_flat & (jnp.arange(ROWS * COLS) == first)
         aliens = (state.aliens.ravel() & ~kill).reshape(ROWS, COLS)
         row_of_kill = first // COLS
@@ -181,11 +184,12 @@ class SpaceInvaders(PixelGame):
         )
         shot_live = shot_live & ~any_hit
 
-        # shot↔shield erosion
-        s_idx = jnp.clip(
-            ((shot_x - 0.5) / 0.3 + 1.0).astype(jnp.int32), 0, N_SHIELDS - 1
-        )
+        # shot↔shield erosion: select the shield by NEAREST center (the
+        # bomb path below already does) — the old truncating index mapped
+        # shots over the left half of shields 1/2 to the wrong shield,
+        # letting them pass through without blocking or eroding
         shield_centers = 0.2 + 0.3 * jnp.arange(N_SHIELDS, dtype=jnp.float32)
+        s_idx = jnp.argmin(jnp.abs(shot_x - shield_centers))
         cell = jnp.clip(
             (
                 (shot_x - (shield_centers[s_idx] - SHIELD_HALF))
@@ -282,8 +286,13 @@ class SpaceInvaders(PixelGame):
         )
         grid_x = jnp.where(cleared, 0.15, grid_x)
 
-        # terminal: out of lives, or the grid reaches the shield/cannon line
-        lowest = grid_y + ROWS * CELL_H
+        # terminal: out of lives, or the LOWEST LIVING row reaches the
+        # cannon line (using the full-grid bottom ended episodes while
+        # survivors were still well above the cannon once low rows cleared)
+        row_alive = aliens.any(axis=1)
+        rowf = jnp.arange(ROWS, dtype=jnp.float32)
+        low_row = jnp.max(jnp.where(row_alive, rowf, -1.0))
+        lowest = grid_y + (low_row + 1.0) * CELL_H
         invaded = (state.aliens.any()) & (lowest >= CANNON_Y - 0.02)
         done = (lives <= 0) | invaded
 

@@ -98,6 +98,7 @@ class Trainer:
         # per-device env count)
         self._check_nstep_stride(buffer, self._nstep_expected_stride())
         self._check_nstep_clip(agent, buffer)
+        self._check_nstep_gamma(agent, buffer)
 
     def _nstep_expected_stride(self) -> int:
         return self.config.num_envs
@@ -120,6 +121,29 @@ class Trainer:
                 "clip_reward with an n-step (n>1) replay buffer would clip "
                 "the accumulated n-step return, not per-step rewards; "
                 "clip rewards env-side instead"
+            )
+
+    @staticmethod
+    def _check_nstep_gamma(agent, buffer) -> None:
+        """With n_step>1 the buffer's gamma drives BOTH the n-step reward
+        sum and ``batch.discount`` (which bootstrap_discount uses instead
+        of the agent's gamma) — a silently different agent gamma would be
+        dead configuration.  Require them to agree."""
+        cfg = getattr(agent, "config", None)
+        agent_gamma = getattr(cfg, "gamma", None)
+        if (
+            agent_gamma is not None
+            and getattr(buffer, "n_step", 1) > 1
+            and abs(float(getattr(buffer, "gamma", agent_gamma))
+                    - float(agent_gamma)) > 1e-9
+        ):
+            from border_tpu.errors import ConfigError
+
+            raise ConfigError(
+                f"agent gamma ({agent_gamma}) != n-step buffer gamma "
+                f"({buffer.gamma}); with n_step>1 the buffer's gamma "
+                f"drives the n-step return and the bootstrap discount — "
+                f"pass the same gamma to both"
             )
 
     @staticmethod

@@ -235,3 +235,87 @@ def test_agent_init_rebind_guard_and_preinit_error():
     # different action space → would silently corrupt existing states
     with pytest.raises(RuntimeError, match="incompatible"):
         agent.init(jax.random.PRNGKey(2), obs4, spaces.Discrete(5))
+
+
+def test_dqn_next_forward_stacked_matches_separate():
+    """ADVICE r3 #3: the stacked next-forward (one vmapped apply over
+    stacked online+target params) must be numerics-identical to the
+    reference-shaped separate applies — on a custom-CNN config, the path
+    the adaptive default switches onto."""
+    import flax.linen as nn
+
+    class TinyCNN(nn.Module):
+        out_dim: int
+
+        @nn.compact
+        def __call__(self, x):
+            x = x.astype(jnp.float32) / 255.0
+            x = nn.relu(nn.Conv(8, (3, 3), strides=(2, 2))(x))
+            x = x.reshape((x.shape[0], -1))
+            return nn.Dense(self.out_dim)(x)
+
+    obs_space = spaces.Box(0, 255, (12, 12, 4), jnp.uint8)
+    act_space = spaces.Discrete(4)
+    key = jax.random.PRNGKey(0)
+    B = 16
+    batch = TransitionBatch(
+        obs=jax.random.randint(key, (B, 12, 12, 4), 0, 255, jnp.uint8),
+        act=jax.random.randint(jax.random.fold_in(key, 1), (B,), 0, 4),
+        next_obs=jax.random.randint(jax.random.fold_in(key, 2),
+                                    (B, 12, 12, 4), 0, 255, jnp.uint8),
+        reward=jax.random.normal(jax.random.fold_in(key, 3), (B,)),
+        terminated=jnp.zeros((B,), bool),
+        truncated=jnp.zeros((B,), bool),
+        weight=jnp.ones((B,), jnp.float32),
+        ix_sample=jnp.arange(B),
+    )
+
+    states, metrics = {}, {}
+    for variant in ("stacked", "separate"):
+        agent = DQN(DQNConfig(model=lambda n: TinyCNN(out_dim=n),
+                              double_dqn=True, lr=1e-3,
+                              next_forward=variant))
+        state = agent.init(key, obs_space, act_space)
+        new_state, m, td = agent.update(state, batch, key)
+        # a couple more steps so target/optimizer state paths diverge if
+        # the variants ever disagree
+        new_state, m, td = agent.update(new_state, batch, key)
+        states[variant], metrics[variant] = new_state, (m, td)
+
+    for a, b in zip(jax.tree.leaves(states["stacked"].params),
+                    jax.tree.leaves(states["separate"].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(metrics["stacked"][1]), np.asarray(metrics["separate"][1]),
+        rtol=1e-6, atol=1e-6)
+    assert np.allclose(float(metrics["stacked"][0]["loss"]),
+                       float(metrics["separate"][0]["loss"]), rtol=1e-6)
+
+
+def test_dqn_rejects_invalid_next_forward():
+    from border_tpu.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="next_forward"):
+        DQN(DQNConfig(next_forward="staked"))
+
+
+def test_trainer_rejects_nstep_gamma_mismatch():
+    """ADVICE r3 #1: with n_step>1 the buffer's gamma drives the n-step
+    return and the bootstrap discount; a different agent gamma is dead
+    config — the Trainer must reject the mismatch."""
+    from border_tpu.envs import make
+    from border_tpu.errors import ConfigError
+    from border_tpu.replay import ReplayBuffer
+    from border_tpu.train import Trainer, TrainerConfig
+
+    env = make("CartPole-v1")
+    cfg = TrainerConfig(max_opts=1, num_envs=8, steps_per_chunk=4,
+                        batch_size=8, opt_interval=8, warmup_period=0)
+    agent = DQN(DQNConfig(hidden=(8,), gamma=0.995))
+    with pytest.raises(ConfigError, match="gamma"):
+        Trainer(env, agent, ReplayBuffer(256, n_step=3, stride=8,
+                                         gamma=0.99), cfg)
+    # matching gammas construct fine
+    Trainer(env, agent, ReplayBuffer(256, n_step=3, stride=8, gamma=0.995),
+            cfg)

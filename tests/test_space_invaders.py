@@ -126,3 +126,87 @@ def test_grid_marches_and_descends():
             break
     assert max(xs) - min(xs) > 0.01, "grid never marched"
     assert float(state.game.grid_y) > y0, "grid never descended at an edge"
+
+
+def _raw_game_state(key=11):
+    from border_tpu.envs.space_invaders import SpaceInvaders
+
+    game = SpaceInvaders()
+    return game, game.init(jax.random.PRNGKey(key))
+
+
+def test_shot_erodes_nearest_shield_both_sides():
+    """ADVICE r3 #2: shield selection is by NEAREST center — shots over
+    the LEFT half of every shield must block/erode it too (the old
+    truncating index sent them through shields 1 and 2)."""
+    from border_tpu.envs.space_invaders import SHIELD_Y, SHOT_SPEED
+
+    game, s0 = _raw_game_state()
+    step = jax.jit(game.frame_step)
+    for shield_i, center in enumerate((0.2, 0.5, 0.8)):
+        for x in (center - 0.03, center + 0.03):  # left and right halves
+            s = s0.replace(
+                shot_live=jnp.bool_(True),
+                shot_x=jnp.float32(x),
+                shot_y=jnp.float32(SHIELD_Y + SHOT_SPEED + 0.01),
+            )
+            new, r, done = step(jax.random.PRNGKey(12), s, jnp.int32(0))
+            hp = np.asarray(new.shields)
+            assert hp[shield_i].sum() < SHIELD_HP * hp.shape[1], (
+                f"shot at x={x:.2f} failed to erode shield {shield_i}"
+            )
+            assert not bool(new.shot_live), (
+                f"shot at x={x:.2f} passed through shield {shield_i}"
+            )
+
+
+def test_shot_kills_bottom_most_alien_when_band_spans_rows():
+    """ADVICE r3 #4: an upward shot whose hit band covers two grid rows
+    kills the BOTTOM row's alien (worth less), matching travel order."""
+    from border_tpu.envs.space_invaders import (
+        CELL_H, CELL_W, GRID_TOP0, SHOT_SPEED,
+    )
+
+    game, s0 = _raw_game_state()
+    col = 2
+    # shot ends the frame exactly between the centers of rows 4 and 5
+    target_y = GRID_TOP0 + 5.0 * CELL_H
+    shot_x = float(s0.grid_x) + (col + 0.5) * CELL_W
+    s = s0.replace(
+        shot_live=jnp.bool_(True),
+        shot_x=jnp.float32(shot_x),
+        shot_y=jnp.float32(target_y + SHOT_SPEED),
+    )
+    new, r, done = jax.jit(game.frame_step)(
+        jax.random.PRNGKey(13), s, jnp.int32(0)
+    )
+    aliens = np.asarray(new.aliens)
+    assert not aliens[5, col], "bottom-row alien survived"
+    assert aliens[4, col], "top-row alien died instead of the bottom one"
+    assert float(r) == 5.0  # bottom row scores 5, not row 4's 10
+
+
+def test_invasion_uses_lowest_living_row():
+    """ADVICE r3 #5: once the bottom rows are cleared, the episode must
+    NOT end until a LIVING row reaches the cannon line."""
+    from border_tpu.envs.space_invaders import CANNON_Y, CELL_H
+
+    game, s0 = _raw_game_state()
+    step = jax.jit(game.frame_step)
+
+    # rows 3-5 dead; full-grid bottom edge past the old terminal line but
+    # the lowest LIVING row (2) still far above the cannon
+    aliens = np.ones((ROWS, COLS), bool)
+    aliens[3:] = False
+    gy = CANNON_Y - 0.02 - ROWS * CELL_H + 0.01
+    s = s0.replace(aliens=jnp.asarray(aliens), grid_y=jnp.float32(gy))
+    new, r, done = step(jax.random.PRNGKey(14), s, jnp.int32(0))
+    assert not bool(done), "episode ended with survivors far above cannon"
+
+    # only the top row alive and its bottom edge at the cannon line → done
+    aliens2 = np.zeros((ROWS, COLS), bool)
+    aliens2[0] = True
+    gy2 = CANNON_Y - 0.02 - CELL_H + 0.001
+    s2 = s0.replace(aliens=jnp.asarray(aliens2), grid_y=jnp.float32(gy2))
+    new2, r2, done2 = step(jax.random.PRNGKey(15), s2, jnp.int32(0))
+    assert bool(done2), "invasion by the lowest living row not detected"
