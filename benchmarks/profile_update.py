@@ -53,7 +53,10 @@ RESULTS: dict = {}
 
 
 def report(name, ms, mflop_per_sample, batch):
-    tf = mflop_per_sample * batch / ms / 1e6  # TFLOP/s
+    # MFLOP·batch / ms → TFLOP/s: 1e6 FLOP·B / (1e-3 s) / 1e12 = /1e3.
+    # NOTE single-dispatch times include ~2.5 ms tunnel dispatch latency —
+    # the in-scan rows (update_decomposition.py) are the honest per-op cost
+    tf = mflop_per_sample * batch / ms / 1e3  # TFLOP/s
     print(f"{name:<44s} {ms:8.3f} ms   {tf:7.1f} TF/s "
           f"({tf / 197 * 100:4.1f}% of 197 bf16 peak)")
     RESULTS[f"{name} [b{batch}]"] = {
@@ -104,8 +107,9 @@ def main():
             truncated=jnp.zeros((B,), bool),
             weight=jnp.ones((B,)), ix_sample=jnp.zeros((B,), jnp.int32),
         )
-        upd = jax.jit(lambda s, b, k: agent.update(s, b, k)[0],
-                      donate_argnums=0)
+        # NO donation: timeit reuses the same state across iterations
+        # (donating it invalidated the buffer and broke the r4 first run)
+        upd = jax.jit(lambda s, b, k: agent.update(s, b, k)[0])
         sc = state
         ms = timeit(lambda s: upd(s, batch, key), sc, iters=30)
         report("agent.update (5 fwd-eq)", ms, 5 * FWD_MF, B)
@@ -148,7 +152,7 @@ def main():
             return s.replace(params=p2, opt_state=opt_state,
                              n_opts=s.n_opts + 1)
 
-        updf = jax.jit(upd_fused, donate_argnums=0)
+        updf = jax.jit(upd_fused)
         ms = timeit(lambda s: updf(s, batch, key), sc, iters=30)
         report("fused-argmax update (~5 fwd-eq)", ms, 5 * FWD_MF, B)
 

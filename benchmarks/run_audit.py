@@ -73,17 +73,17 @@ def steady_inscan():
     import update_variants_inscan as uv
 
     results = {}
-    for variant in ("separate", "stacked"):
-        for B in (512, 1024):
-            r_warm = uv.time_config(variant, B, n_chunks=4)   # discard
-            r = uv.time_config(variant, B, n_chunks=16)        # steady
-            r["discarded_first_window"] = r_warm
-            results[f"{variant}_b{B}"] = r
-            print(f"[audit] steady {variant} b{B}: "
-                  f"{r['b512_equiv_updates_per_sec']} b512-eq/s "
-                  f"(discarded window: "
-                  f"{r_warm['b512_equiv_updates_per_sec']})", flush=True)
-            gc.collect()
+    cells = [("separate", 512), ("stacked", 512), ("stacked", 1024)]
+    for variant, B in cells:
+        r_warm = uv.time_config(variant, B, n_chunks=4)   # discard
+        r = uv.time_config(variant, B, n_chunks=16)        # steady
+        r["discarded_first_window"] = r_warm
+        results[f"{variant}_b{B}"] = r
+        print(f"[audit] steady {variant} b{B}: "
+              f"{r['b512_equiv_updates_per_sec']} b512-eq/s "
+              f"(discarded window: "
+              f"{r_warm['b512_equiv_updates_per_sec']})", flush=True)
+        gc.collect()
     return results
 
 

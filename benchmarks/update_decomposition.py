@@ -88,7 +88,8 @@ def main():
     results = {}
 
     def report(name, ms, mf_per_sample, compile_s):
-        tf = mf_per_sample * B / ms / 1e6 if ms > 0 else 0.0
+        # MFLOP·batch / ms → TFLOP/s:  1e6 FLOP · B / (1e-3 s) / 1e12 = /1e3
+        tf = mf_per_sample * B / ms / 1e3 if ms > 0 else 0.0
         results[name] = {"ms": round(ms, 3), "tflops": round(tf, 1),
                          "pct_peak": round(tf / PEAK_TF * 100, 1),
                          "compile_s": round(compile_s, 1)}
@@ -96,9 +97,19 @@ def main():
               f"({tf / PEAK_TF * 100:4.1f}% of bf16 peak)  "
               f"[compile {compile_s:.0f}s]", flush=True)
 
-    # fwd-only: carry a running sum so the scan has a data dependence
+    # fwd-only: the INPUT must depend on the carry or XLA hoists the whole
+    # forward out of the scan as loop-invariant (the r4 first run measured
+    # 0.075 ms/iter — one forward amortized over 128 iterations).  A
+    # scalar uint8 added to the obs defeats hoisting for one cheap
+    # elementwise pass.
     p = state.params
-    ms, cs = scan_time(lambda acc: acc + net.apply(p, obs).sum(), jnp.float32(0))
+
+    def fstep(carry):
+        acc, c = carry
+        out = net.apply(p, obs + c).sum()
+        return (acc + out, c + jnp.uint8(1))
+
+    ms, cs = scan_time(fstep, (jnp.float32(0), jnp.uint8(0)))
     report("fwd_only", ms, FWD_MF, cs)
 
     # grad-only
@@ -130,6 +141,19 @@ def main():
 
     ms, cs = scan_time(sstep, (jnp.float32(0), key))
     report("sample_only", ms, 0.0, cs)
+
+    # sample+update in one scan iteration — the update scan's real shape
+    # minus env stepping; (update_sampled − update_fixed) is the in-situ
+    # replay tax per update
+    def sustep(carry):
+        s, k = carry
+        k, k2, k3 = jax.random.split(k, 3)
+        b = buf.sample(buf_state, k2, B)
+        s2, _, _ = agent.update(s, b, k3)
+        return (s2, k)
+
+    ms, cs = scan_time(sustep, (state, key))
+    report("update_sampled", ms, 5 * FWD_MF, cs)
 
     return results
 

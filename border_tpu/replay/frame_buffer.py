@@ -233,13 +233,8 @@ class FrameReplayBuffer:
         return per_env * self.num_envs
 
     # -- sampling ----------------------------------------------------------
-    def _gather_stack(self, state, e, s_abs, ages):
-        """frames[e, window(s_abs)] → [B, H, W, stack]."""
-        ks = jnp.arange(self.stack)  # 0..3, oldest→newest
-        back = self.stack - 1 - ks  # 3..0
-        # clamp window into the episode: replay first frame when short
-        s_k = s_abs[:, None] - jnp.minimum(back[None, :], ages[:, None])
-        idx = (s_k % self.capacity).astype(jnp.int32)
+    def _gather_rows(self, state, e, idx):
+        """frames[e, idx] → [B, K, H, W] (K = idx.shape[1])."""
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = False  # XLA gather ~7 % faster end-to-end on v5e
@@ -250,15 +245,43 @@ class FrameReplayBuffer:
             flat_idx = e[:, None].astype(jnp.int32) * self.capacity + idx
             g = gather_frames(
                 flat, flat_idx, interpret=(use_pallas == "interpret")
-            )  # [B, stack, R, 128]
+            )  # [B, K, R, 128]
         else:
-            g = state.frames[e[:, None], idx]  # [B, stack, R, 128]
-        b = g.shape[0]
+            g = state.frames[e[:, None], idx]  # [B, K, R, 128]
+        b, k = g.shape[:2]
         h, w = self.frame_hw
-        g = g.reshape(b, self.stack, -1)[:, :, : h * w].reshape(
-            b, self.stack, h, w
-        )
+        return g.reshape(b, k, -1)[:, :, : h * w].reshape(b, k, h, w)
+
+    def _gather_stack(self, state, e, s_abs, ages):
+        """frames[e, window(s_abs)] → [B, H, W, stack]."""
+        ks = jnp.arange(self.stack)  # 0..3, oldest→newest
+        back = self.stack - 1 - ks  # 3..0
+        # clamp window into the episode: replay first frame when short
+        s_k = s_abs[:, None] - jnp.minimum(back[None, :], ages[:, None])
+        idx = (s_k % self.capacity).astype(jnp.int32)
+        g = self._gather_rows(state, e, idx)
         return jnp.moveaxis(g, 1, -1)  # [B, H, W, stack]
+
+    def _gather_union(self, state, e, s_abs, ages):
+        """(obs, next_obs) for 1-step samples via ONE union gather.
+
+        The obs window (base ``s``) and next_obs window (base ``s+1``)
+        share ``stack-1`` frames, so gathering the stack+1-frame union
+        once moves 5/8 of the HBM bytes of two separate stack gathers —
+        the replay-sample tax is the dominant non-compute cost of the
+        fused update scan (artifacts/update_decomposition.json).
+        Frame identity: with age clamping, obs frame k equals union
+        position stack-k and next_obs frame k equals position stack-1-k
+        (min(a,b)+1 = min(a+1,b+1) makes the clamps line up exactly)."""
+        js = jnp.arange(self.stack + 1)  # 0 = newest (s+1) .. stack = oldest
+        s_j = (s_abs + 1)[:, None] - jnp.minimum(
+            js[None, :], (ages + 1)[:, None]
+        )
+        idx = (s_j % self.capacity).astype(jnp.int32)
+        g = self._gather_rows(state, e, idx)  # [B, stack+1, H, W]
+        obs = jnp.moveaxis(g[:, self.stack:0:-1], 1, -1)
+        next_obs = jnp.moveaxis(g[:, self.stack - 1:: -1], 1, -1)
+        return obs, next_obs
 
     def sample(
         self,
@@ -292,10 +315,9 @@ class FrameReplayBuffer:
 
         p = (s % self.capacity).astype(jnp.int32)
         ages = state.age[e, p]
-        obs = self._gather_stack(state, e, s, ages)
 
         if self.n_step == 1:
-            next_obs = self._gather_stack(state, e, s + 1, ages + 1)
+            obs, next_obs = self._gather_union(state, e, s, ages)
             return TransitionBatch(
                 obs=obs,
                 act=state.act[e, p],
@@ -308,6 +330,7 @@ class FrameReplayBuffer:
             )
 
         # --- n-step accumulation, stopped at the first episode boundary
+        obs = self._gather_stack(state, e, s, ages)
         ks = jnp.arange(self.n_step)  # [n]
         pk = ((s[:, None] + ks[None, :]) % self.capacity).astype(jnp.int32)
         r_k = state.reward[e[:, None], pk]  # [B, n]

@@ -218,3 +218,45 @@ def test_per_frame_buffer_in_sharded_trainer():
     active = leaves[len(leaves) // 2:]
     active = active[active > 0]
     assert active.std() > 0, "priorities never left the uniform init"
+
+
+def test_union_gather_matches_separate_stack_gathers():
+    """The 1-step union gather (one stack+1-row gather) must reproduce
+    exactly the frames of the two separate stack gathers it replaced —
+    including age-clamped windows right after episode starts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from border_tpu.core.env import VecEnv
+    from border_tpu.envs import make
+    from border_tpu.replay import FrameReplayBuffer
+
+    env = make("Pong-v0")
+    vec = VecEnv(env, 4)
+    buf = FrameReplayBuffer(capacity=32, num_envs=4)
+    state = vec.reset(jax.random.PRNGKey(0))
+    bs = buf.init()
+    key = jax.random.PRNGKey(1)
+    step = jax.jit(vec.step)
+    proc = jax.jit(buf.process_step)
+    for i in range(20):
+        key, k = jax.random.split(key)
+        act = jax.random.randint(k, (4,), 0, 6)
+        prev_obs, prev_len = state.obs, state.episode_length
+        ts, state = step(state, act)
+        bs = proc(bs, prev_obs, act, ts, prev_len)
+
+    # every sampleable (e, s): union == separate
+    lo = int(bs.total) - min(int(bs.total), buf.capacity) + buf.stack
+    hi = int(bs.total) - buf.n_step
+    ss = jnp.arange(lo, hi, dtype=jnp.int32)
+    for e_i in range(4):
+        e = jnp.full_like(ss, e_i)
+        p = (ss % buf.capacity).astype(jnp.int32)
+        ages = bs.age[e, p]
+        obs_u, next_u = buf._gather_union(bs, e, ss, ages)
+        obs_s = buf._gather_stack(bs, e, ss, ages)
+        next_s = buf._gather_stack(bs, e, ss + 1, ages + 1)
+        np.testing.assert_array_equal(np.asarray(obs_u), np.asarray(obs_s))
+        np.testing.assert_array_equal(np.asarray(next_u), np.asarray(next_s))
