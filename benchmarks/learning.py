@@ -45,7 +45,8 @@ ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 # re-implemented game band (asserts the agent genuinely learns).
 TARGETS = {"cartpole": 200.0, "pendulum": -200.0, "pong": 18.0,
            "seaquest": 200.0, "breakout": 100.0, "freeway": 30.0,
-           "spaceinvaders": 500.0, "pong_host": 18.0}
+           "spaceinvaders": 500.0, "pong_host": 18.0,
+           "pendulum_host": -200.0}
 
 
 def _build(config: str, seed: int):
@@ -178,6 +179,33 @@ def _build(config: str, seed: int):
                 "agent": "DQN+AtariCNN",
                 "trainer": "HostEnvTrainer"}
         return "Pong-v0", agent, buffer, cfg, evaluator, meta
+    elif config == "pendulum_host":
+        # continuous control through the host path on REAL Gymnasium —
+        # the reference's sac_pendulum shape end to end
+        # (examples/gym/sac_pendulum/src/main.rs + GymEnv training,
+        # border-py-gym-env/src/base.rs:268-340): float actions flow
+        # host-ward, external envs step in host threads, device learner.
+        from border_tpu.envs.py_env import PyVecEnv
+        from border_tpu.train import HostEnvTrainer, HostEvaluator
+
+        agent = SAC(SACConfig(actor_hidden=(128, 128),
+                              critic_hidden=(128, 128), n_critics=2,
+                              actor_lr=3e-4, critic_lr=3e-4,
+                              ent_coef_mode="auto"))
+        cfg = TrainerConfig(max_opts=20_000, warmup_period=1_000,
+                            opt_interval=8, batch_size=128, num_envs=32,
+                            steps_per_chunk=32, eval_interval=2_000,
+                            seed=seed)
+        buffer = ReplayBuffer(capacity=65_536)
+        evaluator = HostEvaluator(
+            lambda n, s: PyVecEnv.gym("Pendulum-v1", n, seed=s),
+            n_episodes=10, max_steps=200,
+        )
+        env = PyVecEnv.gym("Pendulum-v1", 32, seed=seed)
+        meta = {"env": "Pendulum-v1 (external Gymnasium via PyVecEnv)",
+                "agent": "SAC+Gaussian",
+                "trainer": "HostEnvTrainer"}
+        return env, agent, buffer, cfg, evaluator, meta
     else:
         raise KeyError(config)
     return env, agent, buffer, cfg, evaluator, meta
@@ -267,7 +295,8 @@ def assemble(out: str) -> None:
 
     merged = {}
     for name in ("cartpole", "pendulum", "pong", "seaquest",
-                 "breakout", "freeway", "spaceinvaders", "pong_host"):
+                 "breakout", "freeway", "spaceinvaders", "pong_host",
+                 "pendulum_host"):
         paths = sorted(
             [p for p in (os.path.join(ARTIFACTS, f"{name}_curve.json"),)
              if os.path.exists(p)]
@@ -295,7 +324,10 @@ def main():
     p.add_argument("config", choices=["cartpole", "pendulum", "pong",
                                       "seaquest", "breakout", "freeway",
                                       "spaceinvaders", "pong_host",
-                                      "assemble"])
+                                      "pendulum_host", "assemble"])
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (MLP-scale host-path "
+                        "configs run fine on CPU while the chip is busy)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
     p.add_argument("--max-opts", type=int, default=0,
@@ -303,6 +335,10 @@ def main():
                         "runs: the gate scores the best checkpoint, not the "
                         "curve length)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache_cpu")
     if args.config == "assemble":
         assemble(args.out or os.path.join(ARTIFACTS, "..", "LEARNING_r3.json"))
         return

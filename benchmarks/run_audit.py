@@ -73,13 +73,16 @@ def steady_inscan():
     import update_variants_inscan as uv
 
     results = {}
-    cells = [("separate", 512), ("stacked", 512), ("stacked", 1024)]
-    for variant, B in cells:
-        r_warm = uv.time_config(variant, B, n_chunks=4)   # discard
-        r = uv.time_config(variant, B, n_chunks=16)        # steady
+    cells = [("separate", 512, "separate"), ("stacked", 512, "separate"),
+             ("stacked", 1024, "separate"), ("stacked", 512, "union")]
+    for variant, B, mode in cells:
+        r_warm = uv.time_config(variant, B, n_chunks=4, sample_mode=mode)
+        r = uv.time_config(variant, B, n_chunks=16, sample_mode=mode)
         r["discarded_first_window"] = r_warm
-        results[f"{variant}_b{B}"] = r
-        print(f"[audit] steady {variant} b{B}: "
+        name = f"{variant}_b{B}" + ("" if mode == "separate"
+                                    else f"_{mode}gather")
+        results[name] = r
+        print(f"[audit] steady {name}: "
               f"{r['b512_equiv_updates_per_sec']} b512-eq/s "
               f"(discarded window: "
               f"{r_warm['b512_equiv_updates_per_sec']})", flush=True)
@@ -183,19 +186,20 @@ def main() -> None:
         save("profile_update.json",
              {"metric": "profile_update", **meta, "results": r})
 
-    # 4. frame-gather crossover sweep
+    # 4. profiler trace (best-effort; before the gather sweep, whose OOM
+    # poisoned the backend for the rest of the first r4 run)
+    r = phase("profiler_trace", trace_update_burst)
+    if r is not None:
+        save("profile_trace_summary.json",
+             {"metric": "profile_trace", **meta, "results": r})
+
+    # 5. frame-gather crossover sweep
     import frame_gather_bench
 
     r = phase("frame_gather_sweep", frame_gather_bench.main)
     if r is not None:
         save("frame_gather_sweep.json",
              {"metric": "frame_gather_sweep", **meta, "results": r})
-
-    # 5. profiler trace (best-effort)
-    r = phase("profiler_trace", trace_update_burst)
-    if r is not None:
-        save("profile_trace_summary.json",
-             {"metric": "profile_trace", **meta, "results": r})
 
     print(f"[audit] ALL DONE in {time.time() - t_start:.0f}s", flush=True)
 

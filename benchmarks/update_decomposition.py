@@ -127,33 +127,41 @@ def main():
     ms, cs = scan_time(lambda s: agent.update(s, batch, key)[0], state)
     report("update_fixed", ms, 5 * FWD_MF, cs)
 
-    # sample-only from the frame ring at bench scale: a "full" ring is
-    # simulated by advancing the write counter (gathers read zero frames —
-    # same memory traffic as real data)
-    buf = FrameReplayBuffer(capacity=256, num_envs=1024)
-    buf_state = buf.init().replace(total=jnp.int32(2 * 256))
+    # sample rows at bench scale for BOTH gather strategies.  The ring
+    # state is threaded through the scan carry (loop-invariant ARGUMENT):
+    # closing over it embeds the 1.8 GB ring as a program constant, which
+    # the first r4 audit showed compiles gathers onto a pathological path
+    # (~4 ms standalone vs ~0.4 ms in the real trainer scan).
+    for mode in ("separate", "union"):
+        buf = FrameReplayBuffer(capacity=256, num_envs=1024,
+                                sample_mode=mode)
+        buf_state = buf.init().replace(total=jnp.int32(2 * 256))
 
-    def sstep(carry):
-        acc, k = carry
-        k, k2 = jax.random.split(k)
-        b = buf.sample(buf_state, k2, B)
-        return (acc + b.obs.astype(jnp.float32).sum(), k)
+        def sstep(carry):
+            acc, bs, k = carry
+            k, k2 = jax.random.split(k)
+            b = buf.sample(bs, k2, B)
+            return (acc + b.obs.astype(jnp.float32).sum(), bs, k)
 
-    ms, cs = scan_time(sstep, (jnp.float32(0), key))
-    report("sample_only", ms, 0.0, cs)
+        ms, cs = scan_time(sstep, (jnp.float32(0), buf_state, key))
+        report(f"sample_only[{mode}]", ms, 0.0, cs)
 
-    # sample+update in one scan iteration — the update scan's real shape
-    # minus env stepping; (update_sampled − update_fixed) is the in-situ
-    # replay tax per update
-    def sustep(carry):
-        s, k = carry
-        k, k2, k3 = jax.random.split(k, 3)
-        b = buf.sample(buf_state, k2, B)
-        s2, _, _ = agent.update(s, b, k3)
-        return (s2, k)
+        # sample+update in one scan iteration — the update scan's real
+        # shape minus env stepping; (update_sampled − update_fixed) is the
+        # in-situ replay tax per update
+        def sustep(carry):
+            s, bs, k = carry
+            k, k2, k3 = jax.random.split(k, 3)
+            b = buf.sample(bs, k2, B)
+            s2, _, _ = agent.update(s, b, k3)
+            return (s2, bs, k)
 
-    ms, cs = scan_time(sustep, (state, key))
-    report("update_sampled", ms, 5 * FWD_MF, cs)
+        ms, cs = scan_time(sustep, (state, buf_state, key))
+        report(f"update_sampled[{mode}]", ms, 5 * FWD_MF, cs)
+        del buf_state
+        import gc as _gc
+
+        _gc.collect()
 
     return results
 

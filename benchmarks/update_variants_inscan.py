@@ -39,7 +39,8 @@ def _sync(*trees):
     jax.block_until_ready(trees)
 
 
-def time_config(variant: str, batch_size: int, n_chunks: int = 8):
+def time_config(variant: str, batch_size: int, n_chunks: int = 8,
+                sample_mode: str = "separate"):
     env = make("Pong-v0")
     agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
                           double_dqn=True, soft_update_interval=2_000,
@@ -49,7 +50,8 @@ def time_config(variant: str, batch_size: int, n_chunks: int = 8):
         opt_interval=batch_size // 8,  # keep 8 samples per transition
         warmup_period=0, max_opts=10**9,
     )
-    buf = FrameReplayBuffer(capacity=256, num_envs=1024)
+    buf = FrameReplayBuffer(capacity=256, num_envs=1024,
+                            sample_mode=sample_mode)
     tr = Trainer(env, agent, buf, cfg)
     key = jax.random.PRNGKey(0)
     agent_state, vec_state, buf_state = tr.init_states(key, key)

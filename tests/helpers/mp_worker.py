@@ -7,7 +7,11 @@ multi-host analogue of the reference's threads-in-one-process async doctest
 final parameter checksum so the driver can assert cross-process replication
 and single-process equivalence.
 
-Usage: mp_worker.py <process_id> <num_processes> <port> <ndev_local>
+Usage: mp_worker.py <process_id> <num_processes> <port> <ndev_local> [config]
+
+``config``: "mlp" (default — CartPole + flat ReplayBuffer) or "pixel"
+(Pong + AtariCNN + FrameReplayBuffer: the flagship data structures on the
+multi-process mesh, VERDICT r3 next #8).
 """
 
 import json
@@ -18,6 +22,7 @@ pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
 ndev_local = int(sys.argv[4])
+config = sys.argv[5] if len(sys.argv) > 5 else "mlp"
 
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={ndev_local}"
@@ -44,19 +49,38 @@ from border_tpu.train import TrainerConfig
 
 
 def main():
-    env = make("CartPole-v1")
-    agent = DQN(DQNConfig(hidden=(8,), lr=1e-3))
-    cfg = TrainerConfig(
-        num_envs=16,
-        steps_per_chunk=4,
-        batch_size=16,
-        opt_interval=8,
-        warmup_period=0,
-        max_opts=6,
-        eval_interval=10**9,
-        seed=7,
-    )
-    tr = ShardedTrainer(env, agent, ReplayBuffer(256), cfg)
+    if config == "pixel":
+        from border_tpu.models import AtariCNN
+        from border_tpu.replay import FrameReplayBuffer
+
+        env = make("Pong-v0")
+        agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4))
+        cfg = TrainerConfig(
+            num_envs=8,
+            steps_per_chunk=8,  # > stack + n_step: real sampleable window
+            batch_size=8,
+            opt_interval=16,
+            warmup_period=0,
+            max_opts=4,
+            eval_interval=10**9,
+            seed=7,
+        )
+        buffer = FrameReplayBuffer(capacity=16, num_envs=8)
+    else:
+        env = make("CartPole-v1")
+        agent = DQN(DQNConfig(hidden=(8,), lr=1e-3))
+        cfg = TrainerConfig(
+            num_envs=16,
+            steps_per_chunk=4,
+            batch_size=16,
+            opt_interval=8,
+            warmup_period=0,
+            max_opts=6,
+            eval_interval=10**9,
+            seed=7,
+        )
+        buffer = ReplayBuffer(256)
+    tr = ShardedTrainer(env, agent, buffer, cfg)
     res = tr.train()
     checksum = float(
         sum(jnp.sum(x.astype(jnp.float64)) for x in

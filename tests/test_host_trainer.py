@@ -219,3 +219,102 @@ def test_host_trainer_checkpoint_resume(tmp_path):
     # replay persisted through the restore (ring has content beyond what
     # the short post-resume run alone could have written)
     assert int(res_resumed.buffer_state.size) > 0
+
+
+def test_pyvecenv_dict_obs_flatten():
+    """Dict-obs Gymnasium envs train through PyVecEnv with the built-in
+    flatten (≙ the reference's dict-obs converters for robotics envs,
+    border-py-gym-env/src/candle/*; VERDICT r3 next #3)."""
+    import gymnasium
+    import numpy as np
+
+    from border_tpu.envs.py_env import PyVecEnv
+
+    class DictReach(gymnasium.Env):
+        """2-D point reaches a goal; obs = {achieved, desired} dict."""
+
+        observation_space = gymnasium.spaces.Dict({
+            "achieved": gymnasium.spaces.Box(-1, 1, (2,), np.float32),
+            "desired": gymnasium.spaces.Box(-1, 1, (2,), np.float32),
+        })
+        action_space = gymnasium.spaces.Box(-1, 1, (2,), np.float32)
+
+        def reset(self, seed=None, options=None):
+            self.rng = np.random.default_rng(seed)
+            self.pos = self.rng.uniform(-1, 1, 2).astype(np.float32)
+            self.goal = self.rng.uniform(-1, 1, 2).astype(np.float32)
+            self.t = 0
+            return self._obs(), {}
+
+        def _obs(self):
+            return {"achieved": self.pos.copy(), "desired": self.goal.copy()}
+
+        def step(self, a):
+            self.pos = np.clip(self.pos + 0.1 * np.asarray(a), -1, 1)
+            self.t += 1
+            d = float(np.linalg.norm(self.pos - self.goal))
+            return self._obs(), -d, d < 0.1, self.t >= 40, {}
+
+    vec = PyVecEnv([DictReach for _ in range(4)], seed=0)
+    assert vec.observation_space.shape == (4,)  # 2+2 flattened
+    obs = vec.reset()
+    assert obs.shape == (4, 4) and obs.dtype == np.float32
+    # flatten order: key-sorted (achieved then desired)
+    env0 = vec.envs[0]
+    np.testing.assert_allclose(obs[0, :2], env0.pos)
+    np.testing.assert_allclose(obs[0, 2:], env0.goal)
+
+    # a continuous-action agent trains on it through the host path
+    from border_tpu.agents import SAC, SACConfig
+    from border_tpu.replay import ReplayBuffer
+    from border_tpu.train import HostEnvTrainer, TrainerConfig
+
+    cfg = TrainerConfig(max_opts=8, warmup_period=32, opt_interval=4,
+                        batch_size=16, num_envs=4, steps_per_chunk=8,
+                        eval_interval=10**9, seed=0)
+    tr = HostEnvTrainer(vec, SAC(SACConfig(actor_hidden=(16,),
+                                           critic_hidden=(16,))),
+                        ReplayBuffer(2048), cfg)
+    res = tr.train()
+    tr.env.close()
+    assert res.opt_steps >= 8
+    import jax
+
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(res.agent_state.actor_params))
+
+
+def test_sac_trains_on_real_gymnasium_pendulum():
+    """Continuous actions flow host-ward end to end: SAC + PyVecEnv on
+    REAL Gymnasium Pendulum-v1 through HostEnvTrainer improves over the
+    untrained policy (the full −200 gate is the committed
+    pendulum_host curve; ≙ examples/gym/sac_pendulum/src/main.rs +
+    border-py-gym-env/src/base.rs:268-340)."""
+    import numpy as np
+
+    from border_tpu.agents import SAC, SACConfig
+    from border_tpu.envs.py_env import PyVecEnv
+    from border_tpu.replay import ReplayBuffer
+    from border_tpu.train import (
+        HostEnvTrainer, HostEvaluator, TrainerConfig,
+    )
+
+    ev = HostEvaluator(
+        lambda n, seed: PyVecEnv.gym("Pendulum-v1", n, seed=seed),
+        n_episodes=4, max_steps=200,
+    )
+    agent = SAC(SACConfig(actor_hidden=(64, 64), critic_hidden=(64, 64)))
+    vec = PyVecEnv.gym("Pendulum-v1", 16, seed=1)
+    cfg = TrainerConfig(max_opts=6000, warmup_period=256, opt_interval=4,
+                        batch_size=128, num_envs=16, steps_per_chunk=16,
+                        eval_interval=2000, seed=1)
+    tr = HostEnvTrainer(vec, agent, ReplayBuffer(65_536), cfg, evaluator=ev)
+    # untrained baseline on the same eval protocol
+    import jax
+
+    state0 = agent.init(jax.random.PRNGKey(0), vec.observation_space,
+                        vec.action_space)
+    base, _ = ev.evaluate(agent, state0, eval_index=99)
+    res = tr.train()
+    tr.env.close()
+    assert res.best_score > base + 150, (base, res.best_score)

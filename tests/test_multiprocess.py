@@ -25,13 +25,14 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(nproc: int, ndev_local: int, port: int, timeout: int = 420):
+def _run_workers(nproc: int, ndev_local: int, port: int, timeout: int = 420,
+                 config: str = "mlp"):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(i), str(nproc), str(port),
-             str(ndev_local)],
+             str(ndev_local), config],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
         )
@@ -80,6 +81,24 @@ def test_two_process_training_matches_single_process():
     # same global mesh + seeds → equivalent training whether the 8 devices
     # live in one process or two: identical step counts, and parameter sums
     # equal up to all-reduce summation order (gloo vs in-process XLA)
+    assert one["opt_steps"] == two[0]["opt_steps"]
+    assert one["env_steps"] == two[0]["env_steps"]
+    assert one["checksum"] == pytest.approx(two[0]["checksum"], rel=1e-5)
+
+
+def test_two_process_pixel_training_matches_single_process():
+    """The flagship data structures — AtariCNN learner + frame-dedup
+    FrameReplayBuffer (per-env ring shards) — on the multi-process mesh:
+    2 proc × 4 devices ≡ 1 × 8 (VERDICT r3 next #8)."""
+    port = _free_port()
+    two = _run_workers(nproc=2, ndev_local=4, port=port, config="pixel",
+                       timeout=560)
+    assert all(o["global_device_count"] == 8 for o in two)
+    assert two[0]["checksum"] == two[1]["checksum"]
+    assert two[0]["opt_steps"] == two[1]["opt_steps"] >= 4
+
+    one = _run_workers(nproc=1, ndev_local=8, port=_free_port(),
+                       config="pixel", timeout=560)[0]
     assert one["opt_steps"] == two[0]["opt_steps"]
     assert one["env_steps"] == two[0]["env_steps"]
     assert one["checksum"] == pytest.approx(two[0]["checksum"], rel=1e-5)
