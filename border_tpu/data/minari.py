@@ -115,8 +115,13 @@ class MinariDataset:
         try:
             import minari  # type: ignore
         except ImportError:
-            return cls._from_local(dataset_id)  # raises with local listing
-        return cls._from_minari_pkg(dataset_id, minari, converter)
+            minari = None
+        if minari is not None:
+            return cls._from_minari_pkg(dataset_id, minari, converter)
+        h5 = _find_minari_hdf5(dataset_id)
+        if h5 is not None:
+            return cls._from_minari_hdf5(dataset_id, h5, converter)
+        return cls._from_local(dataset_id)  # raises with local listing
 
     @classmethod
     def _from_minari_pkg(cls, dataset_id: str, minari,
@@ -144,6 +149,31 @@ class MinariDataset:
             env_name=env_name,
             ref_min=ref_min,
             ref_max=ref_max,
+        )
+
+    @classmethod
+    def _from_minari_hdf5(cls, dataset_id: str, path: str,
+                          converter: Optional[MinariConverter]
+                          ) -> "MinariDataset":
+        """Load a Minari-format ``main_data.hdf5`` WITHOUT the minari
+        package — the storage schema the package writes under
+        ``~/.minari/datasets/<id>/data/`` (episode groups with
+        observations/actions/rewards/terminations/truncations; dict obs
+        as sub-groups).  Lets a user point the framework at an on-disk
+        Minari dataset with only h5py installed (≙ the dataset parsing
+        border-minari does through pyo3, dataset.rs:64-100)."""
+        conv = converter or converter_for(dataset_id)
+        episodes, env_name = load_minari_hdf5(path)
+        eps = [{
+            "obs": conv.convert_observation(ep["observations"]),
+            "act": conv.convert_action(ep["actions"]),
+            "reward": ep["rewards"],
+            "terminated": bool(ep["terminations"][-1]),
+        } for ep in episodes]
+        return cls(
+            dataset_id=dataset_id,
+            data=OfflineDataset.from_episodes(eps),
+            env_name=env_name,
         )
 
     @classmethod
@@ -238,6 +268,66 @@ class MinariDataset:
         if self.behavior_return is None:
             raise ValueError("no behavior_return recorded for this dataset")
         return normalized_score(self.behavior_return, self.ref_min, self.ref_max)
+
+
+MINARI_FORMAT_DIR = os.path.join(LOCAL_DATASET_DIR, "minari_format")
+
+
+def _find_minari_hdf5(dataset_id: str) -> Optional[str]:
+    """Locate ``<id>/data/main_data.hdf5`` in the standard Minari search
+    roots: $MINARI_DATASETS_PATH, ~/.minari/datasets, and the committed
+    fixture dir."""
+    roots = [
+        os.environ.get("MINARI_DATASETS_PATH"),
+        os.path.expanduser("~/.minari/datasets"),
+        MINARI_FORMAT_DIR,
+    ]
+    for root in roots:
+        if not root:
+            continue
+        p = os.path.join(root, dataset_id, "data", "main_data.hdf5")
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def load_minari_hdf5(path: str):
+    """Parse a Minari-format HDF5 file → (episodes, env_name).
+
+    Episodes are dicts with T+1-row ``observations`` (dict obs become
+    {key: [T+1, ...]} dicts), T-row actions/rewards/terminations/
+    truncations — the exact shape ``minari.load_dataset`` episodes expose
+    (and which border-minari consumes at dataset.rs:64-100)."""
+    import h5py
+
+    episodes = []
+    with h5py.File(path, "r") as f:
+        names = sorted(
+            (n for n in f.keys() if n.startswith("episode_")),
+            key=lambda n: int(n.split("_")[1]),
+        )
+        for name in names:
+            g = f[name]
+            obs_node = g["observations"]
+            if isinstance(obs_node, h5py.Group):
+                obs = {k: np.asarray(obs_node[k]) for k in obs_node.keys()}
+            else:
+                obs = np.asarray(obs_node)
+            episodes.append({
+                "observations": obs,
+                "actions": np.asarray(g["actions"]),
+                "rewards": np.asarray(g["rewards"]),
+                "terminations": np.asarray(g["terminations"]),
+                "truncations": np.asarray(g["truncations"]),
+            })
+        env_name = None
+        spec = f.attrs.get("env_spec")
+        if spec is not None:
+            try:
+                env_name = json.loads(spec).get("id")
+            except (TypeError, ValueError):
+                env_name = None
+    return episodes, env_name
 
 
 def list_local_datasets() -> List[str]:
