@@ -45,7 +45,7 @@ ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 # re-implemented game band (asserts the agent genuinely learns).
 TARGETS = {"cartpole": 200.0, "pendulum": -200.0, "pong": 18.0,
            "seaquest": 200.0, "breakout": 100.0, "freeway": 30.0,
-           "spaceinvaders": 500.0, "pong_host": 18.0,
+           "spaceinvaders": 600.0, "pong_host": 18.0,
            "pendulum_host": -200.0}
 
 

@@ -12,11 +12,14 @@ LEFTFIRE, ≙ get_num_actions_atari, env.rs:97-100):
 - three erodible shields between the cannon and the grid,
 - ALE scoring: an alien in row r (top→bottom) is worth 30/25/20/15/10/5
   — wave total 630, waves respawn with a one-row-lower start,
+- a mystery saucer crosses the top of the screen periodically and is
+  worth 100 when shot (ALE's value cycles 50-300 with the player's shot
+  count; the fixed 100 is the documented simplification),
 - 3 lives; the game also ends if the grid reaches the cannon row.
 
-All dynamics are static-shape jittable; divergence from real ALE (no
-mystery ship, simplified bomb cadence) is inherent to the no-ROM
-constraint and documented in COVERAGE.md.
+All dynamics are static-shape jittable; remaining divergence from real
+ALE (simplified bomb cadence, fixed saucer value) is inherent to the
+no-ROM constraint and quantified in DIVERGENCE.md.
 """
 
 from __future__ import annotations
@@ -60,6 +63,12 @@ SHIELD_HP = 4            # hits a cell absorbs
 LIVES = 3
 RESPAWN_FRAMES = 30      # cannon invulnerable/frozen after a hit
 
+SAUCER_Y = 0.045         # mystery ship track (above the grid)
+SAUCER_SPEED = 0.004
+SAUCER_PERIOD = 600      # frames between saucer passes
+SAUCER_HALF_W = 0.03
+SAUCER_SCORE = 100.0     # ALE cycles 50-300 by shot count; fixed here
+
 
 @struct.dataclass
 class SpaceInvadersState:
@@ -75,6 +84,8 @@ class SpaceInvadersState:
     bomb_y: jax.Array      # [N_BOMBS]
     bomb_live: jax.Array   # [N_BOMBS] bool
     shields: jax.Array     # [N_SHIELDS, SHIELD_CELLS] int32 hp
+    saucer_x: jax.Array
+    saucer_live: jax.Array
     lives: jax.Array
     respawn: jax.Array     # frames of post-hit freeze left
     frame: jax.Array       # frame counter (bomb cadence)
@@ -114,6 +125,8 @@ class SpaceInvaders(PixelGame):
             bomb_y=jnp.zeros((N_BOMBS,), jnp.float32),
             bomb_live=jnp.zeros((N_BOMBS,), bool),
             shields=jnp.full((N_SHIELDS, SHIELD_CELLS), SHIELD_HP, jnp.int32),
+            saucer_x=jnp.float32(0.0),
+            saucer_live=jnp.bool_(False),
             lives=jnp.int32(LIVES),
             respawn=jnp.int32(0),
             frame=jnp.int32(0),
@@ -184,6 +197,24 @@ class SpaceInvaders(PixelGame):
         )
         shot_live = shot_live & ~any_hit
 
+        # mystery saucer: spawns every SAUCER_PERIOD frames at the left
+        # edge, crosses the top track, dies at the right edge or to a
+        # player shot (worth SAUCER_SCORE)
+        frame_next = state.frame + 1
+        spawn_saucer = ((frame_next % SAUCER_PERIOD) == 0) & ~state.saucer_live
+        saucer_x = jnp.where(spawn_saucer, 0.02,
+                             state.saucer_x + SAUCER_SPEED)
+        saucer_live = (state.saucer_live | spawn_saucer) & (saucer_x < 0.98)
+        saucer_hit = (
+            saucer_live
+            & shot_live
+            & (jnp.abs(saucer_x - shot_x) <= SAUCER_HALF_W)
+            & (shot_y <= SAUCER_Y + 0.02)
+        )
+        reward = reward + jnp.where(saucer_hit, SAUCER_SCORE, 0.0)
+        saucer_live = saucer_live & ~saucer_hit
+        shot_live = shot_live & ~saucer_hit
+
         # shot↔shield erosion: select the shield by NEAREST center (the
         # bomb path below already does) — the old truncating index mapped
         # shots over the left half of shields 1/2 to the wrong shield,
@@ -211,7 +242,7 @@ class SpaceInvaders(PixelGame):
 
         # alien bombs: slot i drops every BOMB_PERIOD frames (staggered) from
         # the lowest living alien of a random column
-        frame = state.frame + 1
+        frame = frame_next
         k_cols = jax.random.split(key, N_BOMBS)
         rows_rev = ROWS - 1 - jnp.arange(ROWS)[:, None]  # prefer low rows
         bomb_x, bomb_y, bomb_live = [], [], []
@@ -309,6 +340,8 @@ class SpaceInvaders(PixelGame):
             bomb_y=bomb_y,
             bomb_live=bomb_live,
             shields=shields,
+            saucer_x=saucer_x,
+            saucer_live=saucer_live,
             lives=lives,
             respawn=respawn,
             frame=frame,
@@ -375,8 +408,14 @@ class SpaceInvaders(PixelGame):
             & (jnp.abs(ys[..., None] - state.bomb_y) <= 0.014)
         ).any(-1)
 
+        saucer = (
+            state.saucer_live
+            & (jnp.abs(xs - state.saucer_x) <= SAUCER_HALF_W)
+            & (jnp.abs(ys - SAUCER_Y) <= 0.012)
+        )
         frame = (
             jnp.where(alien_px, 132, 0)
+            + jnp.where(saucer, 170, 0)
             + jnp.where(shield_px, shield_val, 0)
             + jnp.where(cannon, 196, 0)
             + jnp.where(shot, 255, 0)

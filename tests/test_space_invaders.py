@@ -210,3 +210,39 @@ def test_invasion_uses_lowest_living_row():
     s2 = s0.replace(aliens=jnp.asarray(aliens2), grid_y=jnp.float32(gy2))
     new2, r2, done2 = step(jax.random.PRNGKey(15), s2, jnp.int32(0))
     assert bool(done2), "invasion by the lowest living row not detected"
+
+
+def test_mystery_saucer_crosses_and_scores():
+    """The mystery saucer spawns on its period, crosses the top track,
+    and a player shot kills it for SAUCER_SCORE (ALE's bonus saucer,
+    value fixed at 100 — divergence documented in DIVERGENCE.md)."""
+    from border_tpu.envs.space_invaders import (
+        SAUCER_PERIOD, SAUCER_SCORE, SAUCER_Y, SHOT_SPEED,
+    )
+
+    game, s0 = _raw_game_state()
+    step = jax.jit(game.frame_step)
+
+    # force a spawn: set frame so the next step hits the period
+    s = s0.replace(frame=jnp.int32(SAUCER_PERIOD - 1))
+    s1, r, done = step(jax.random.PRNGKey(20), s, jnp.int32(0))
+    assert bool(s1.saucer_live), "saucer did not spawn on its period"
+    x0 = float(s1.saucer_x)
+    s2, _, _ = step(jax.random.PRNGKey(21), s1, jnp.int32(0))
+    assert float(s2.saucer_x) > x0, "saucer did not move"
+
+    # park a shot just below the saucer track → kill + score
+    s3 = s2.replace(
+        shot_live=jnp.bool_(True),
+        shot_x=s2.saucer_x + jnp.float32(0.004),  # will stay in band
+        shot_y=jnp.float32(SAUCER_Y + SHOT_SPEED),
+    )
+    s4, r4, _ = step(jax.random.PRNGKey(22), s3, jnp.int32(0))
+    assert float(r4) == SAUCER_SCORE
+    assert not bool(s4.saucer_live)
+    assert not bool(s4.shot_live)
+
+    # un-shot saucer expires at the right edge
+    s5 = s2.replace(saucer_x=jnp.float32(0.979))
+    s6, _, _ = step(jax.random.PRNGKey(23), s5, jnp.int32(0))
+    assert not bool(s6.saucer_live)
