@@ -40,18 +40,20 @@ def _sync(*trees):
 
 
 def time_config(variant: str, batch_size: int, n_chunks: int = 8,
-                sample_mode: str = "separate"):
+                sample_mode: str = "separate", prefetch: bool = False,
+                scale_in_kernel: bool = False, use_pallas=None):
     env = make("Pong-v0")
-    agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
-                          double_dqn=True, soft_update_interval=2_000,
-                          tau=1.0, next_forward=variant))
+    agent = DQN(DQNConfig(
+        model=lambda n: AtariCNN(out_dim=n, scale_in_kernel=scale_in_kernel),
+        lr=1e-4, double_dqn=True, soft_update_interval=2_000,
+        tau=1.0, next_forward=variant))
     cfg = TrainerConfig(
         num_envs=1024, steps_per_chunk=32, batch_size=batch_size,
         opt_interval=batch_size // 8,  # keep 8 samples per transition
-        warmup_period=0, max_opts=10**9,
+        warmup_period=0, max_opts=10**9, prefetch_sample=prefetch,
     )
     buf = FrameReplayBuffer(capacity=256, num_envs=1024,
-                            sample_mode=sample_mode)
+                            sample_mode=sample_mode, use_pallas=use_pallas)
     tr = Trainer(env, agent, buf, cfg)
     key = jax.random.PRNGKey(0)
     agent_state, vec_state, buf_state = tr.init_states(key, key)

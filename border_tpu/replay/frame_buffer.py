@@ -92,7 +92,7 @@ class FrameReplayBuffer:
         gamma: float = 0.99,
         use_pallas: Optional[Any] = None,
         per: Optional[PerConfig] = None,
-        sample_mode: str = "separate",
+        sample_mode: str = "union",
     ):
         """``n_step > 1`` enables n-step backups: sampled batches carry
         ``reward = Σ γ^k r_{t+k}`` (stopped at the first episode boundary),
@@ -106,11 +106,11 @@ class FrameReplayBuffer:
         Pallas kernel, ``"interpret"`` runs it in interpreter mode (CPU
         testing).
 
-        ``sample_mode``: "separate" (default — two stack-width gathers for
-        obs/next_obs; the measured-fastest path on v5e) or "union" (one
-        stack+1-width gather; 5/8 the bytes but compiled slower on the
-        bench shape — see _gather_union).  1-step only; numerics-identical
-        either way (equivalence-tested)."""
+        ``sample_mode``: "union" (default — ONE ascending stack+1-width
+        gather shared by obs/next_obs: 5/8 the HBM bytes, measured +9%
+        end-to-end updates/s on the v5e bench shape) or "separate" (two
+        stack-width gathers — the reference-shaped fallback).  1-step
+        only; numerics-identical either way (equivalence-tested)."""
         self.capacity = capacity
         self.num_envs = num_envs
         self.frame_hw = frame_hw
@@ -287,11 +287,10 @@ class FrameReplayBuffer:
         next frame k = (s+1) − min(stack−1−k, age+1) = u_{k+1}
         (min(a,b)+1 = min(a+1,b+1) lines the clamps up exactly).
 
-        Measured end-to-end this LOST to the two separate gathers on the
-        v5e bench shape (565 vs 891 b512-eq updates/s, r4 audit) — the
-        wider gather compiled worse than two stack-width gathers — so
-        ``sample_mode`` defaults to "separate"; the union path stays
-        selectable for shapes where it wins."""
+        Ordering matters: a DESCENDING union (reversal slices for the
+        two stacks) measured 565 b512-eq updates/s vs 891 for separate
+        gathers (negative-stride copies); this ascending version measures
+        971 — the default (r4 audit, update_variants_inscan_steady)."""
         js = jnp.arange(self.stack + 1)  # 0 = oldest .. stack = newest (s+1)
         s_j = (s_abs + 1)[:, None] - jnp.minimum(
             (self.stack - js)[None, :], (ages + 1)[:, None]

@@ -43,6 +43,10 @@ class TrainerConfig:
     # -- TPU fusion knobs --------------------------------------------------
     num_envs: int = 128  # vectorized env axis (≙ N actors)
     steps_per_chunk: int = 64  # env steps fused per jitted outer step
+    # prefetch the next update's replay sample inside the current scan
+    # iteration so the gather DMA overlaps the MXU compute (uniform replay
+    # only; PER stays sequential — its draw depends on fresh priorities)
+    prefetch_sample: bool = True
     # -- misc --------------------------------------------------------------
     seed: int = 0
     # async-equivalent (≙ AsyncTrainerConfig::sync_interval) — only used by

@@ -196,7 +196,40 @@ class Trainer:
 
     def _update_scan(self, agent_state, buf_state, key):
         """M gradient steps: sample → update → priority feedback
-        (≙ Agent::opt inner loop, dqn/base.rs:182-200)."""
+        (≙ Agent::opt inner loop, dqn/base.rs:182-200).
+
+        With uniform replay the sample for iteration i+1 is PREFETCHED
+        inside iteration i's body: the gather has no data dependence on
+        that iteration's gradient step, so XLA's scheduler overlaps the
+        replay DMA with the MXU compute instead of serializing them —
+        the r4 on-chip decomposition measured the two as purely additive
+        in the naive ordering (update_fixed 0.64 ms + sample 0.42 ms,
+        artifacts/update_decomposition.json).  PER keeps the sequential
+        order: its sampling distribution depends on the priorities the
+        previous update just wrote."""
+        B = self.config.batch_size
+        keys = jax.random.split(key, self.updates_per_chunk + 1)
+
+        if self.buffer.per is None and self.config.prefetch_sample:
+            batch0 = self.buffer.sample(
+                buf_state, keys[0], B, n_opts=agent_state.n_opts
+            )
+
+            def body(carry, k):
+                agent_state, batch = carry
+                k_sample, k_update = jax.random.split(k)
+                next_batch = self.buffer.sample(  # for iteration i+1
+                    buf_state, k_sample, B, n_opts=agent_state.n_opts
+                )
+                agent_state, metrics, _ = self.agent.update(
+                    agent_state, batch, k_update
+                )
+                return (agent_state, next_batch), metrics
+
+            (agent_state, _), metrics = jax.lax.scan(
+                body, (agent_state, batch0), keys[1:]
+            )
+            return agent_state, buf_state, jax.tree.map(jnp.mean, metrics)
 
         def body(carry, k):
             agent_state, buf_state = carry
@@ -213,9 +246,8 @@ class Trainer:
                 )
             return (agent_state, buf_state), metrics
 
-        keys = jax.random.split(key, self.updates_per_chunk)
         (agent_state, buf_state), metrics = jax.lax.scan(
-            body, (agent_state, buf_state), keys
+            body, (agent_state, buf_state), keys[1:]
         )
         mean_metrics = jax.tree.map(jnp.mean, metrics)
         return agent_state, buf_state, mean_metrics
