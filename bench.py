@@ -40,40 +40,35 @@ def gate() -> int:
     their targets (BASELINE.md north star: DQN-Pong eval return ≥ 18; plus
     CartPole/Pendulum/Seaquest parity bands).
 
-    Hardened rule (VERDICT r2 next #3 — best-ever on one seed certifies
-    luck): each config needs ≥ MIN_SEEDS committed per-seed curves
+    ONE rule, no fallback, no exemptions (VERDICT r3 next #2): every
+    config needs ≥ 3 committed per-seed curves
     (artifacts/{name}_curve.json = seed 0, {name}_curve_seed{s}.json), and
     EVERY seed must pass on the median of 5 FRESH seeded evaluations of
     the run's BEST checkpoint (``final_evals`` in the artifact, produced
     by benchmarks/learning.py after training) — the checkpoint is the
     run's deliverable (≙ the reference's best-model selection,
-    trainer.rs:251-255), and re-scoring it on 100 fresh episodes removes
-    single-lucky-eval passes.  Artifacts without ``final_evals`` fall
-    back to the median of the last 5 training evals (end-of-run
-    stability).  Exits non-zero on any miss so the driver/judge can
-    verify learning without trusting prose.  jax-free: safe to run while
-    a training job owns the chip."""
+    trainer.rs:251-255), and re-scoring it on fresh episodes removes
+    single-lucky-eval passes.  An artifact without ``final_evals`` FAILS.
+    Exits non-zero on any miss so the driver/judge can verify learning
+    without trusting prose.  jax-free: safe to run while a training job
+    owns the chip."""
     import glob as _glob
     import statistics
 
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
-    # pong_host demonstrates the host-C++-envpool architecture at pixel
-    # scale (one seed: the learning claim is carried by the 3-seed on-device
-    # pong config, same game + agent)
-    MIN_SEEDS = {"pong_host": 1}
     results = {}
     ok = True
     for name in ("cartpole", "pendulum", "pong", "seaquest",
-                 "breakout", "freeway", "spaceinvaders", "pong_host"):
+                 "breakout", "freeway", "spaceinvaders", "pong_host",
+                 "pendulum_host"):
         paths = sorted(
             [p for p in (os.path.join(art, f"{name}_curve.json"),)
              if os.path.exists(p)]
             + _glob.glob(os.path.join(art, f"{name}_curve_seed*.json"))
         )
-        need = MIN_SEEDS.get(name, 3)
-        if len(paths) < need:
+        if len(paths) < 3:
             results[name] = {"status": "MISSING_SEEDS", "seeds": len(paths),
-                             "seeds_required": need}
+                             "seeds_required": 3}
             ok = False
             continue
         seeds = {}
@@ -83,20 +78,17 @@ def gate() -> int:
             with open(p) as f:
                 d = json.load(f)
             target = d.get("target")
-            evals = [pt["eval_return"] for pt in d["curve"]]
-            if not evals:
+            finals = d.get("final_evals")
+            if not finals:
+                seeds[str(d.get("seed", "?"))] = {
+                    "status": "NO_FINAL_EVALS", "pass": False,
+                }
                 passed = False
                 continue
-            finals = d.get("final_evals")
-            rule = "best-checkpoint fresh evals"
-            if not finals:
-                finals = evals[-5:]
-                rule = "last 5 training evals (no final_evals)"
             final_med = statistics.median(finals)
             seed_pass = target is None or final_med >= target
             seeds[str(d.get("seed", "?"))] = {
                 "final_median": round(float(final_med), 2),
-                "rule": rule,
                 "best": round(float(max(pt["best"] for pt in d["curve"])), 2),
                 "pass": seed_pass,
             }

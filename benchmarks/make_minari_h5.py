@@ -49,7 +49,8 @@ def _write(dataset_id, episodes, env_id, dict_obs=False):
         f.attrs["total_episodes"] = len(episodes)
         f.attrs["total_steps"] = total_steps
         f.attrs["dataset_id"] = dataset_id
-        f.attrs["env_spec"] = json.dumps({"id": env_id})
+        if env_id is not None:
+            f.attrs["env_spec"] = json.dumps({"id": env_id})
     print(f"wrote {dataset_id}: {len(episodes)} episodes, "
           f"{total_steps} steps")
 
@@ -86,6 +87,34 @@ def main():
             "truncations": np.zeros(T, bool),
         })
     _write("pointmaze-demo-v0", eps, "Reacher-v0", dict_obs=True)
+
+    # per-domain dict-obs corpora exercising each registry converter
+    # (≙ the d4rl converter tree, border-minari/src/d4rl/**):
+    # antmaze/fetch use (observation ++ desired_goal); kitchen flattens
+    # observation only
+    for domain, obs_dim, goal_dim, act_dim in (
+        ("antmaze-demo-v0", 27, 2, 8),
+        ("fetch-reach-demo-v0", 10, 3, 4),
+        ("kitchen-demo-v0", 59, 0, 9),
+    ):
+        eps = []
+        for i in range(2):
+            T = int(rng.integers(10, 20))
+            obs = {"observation":
+                   rng.normal(size=(T + 1, obs_dim)).astype(np.float32)}
+            if goal_dim:
+                obs["desired_goal"] = rng.normal(
+                    size=(T + 1, goal_dim)).astype(np.float32)
+                obs["achieved_goal"] = rng.normal(
+                    size=(T + 1, goal_dim)).astype(np.float32)
+            eps.append({
+                "observations": obs,
+                "actions": rng.uniform(-1, 1, (T, act_dim)).astype(np.float32),
+                "rewards": rng.normal(size=(T,)).astype(np.float64),
+                "terminations": np.r_[np.zeros(T - 1, bool), True],
+                "truncations": np.zeros(T, bool),
+            })
+        _write(domain, eps, None, dict_obs=True)
 
 
 if __name__ == "__main__":

@@ -87,8 +87,8 @@ def test_policy_cross_evaluation_on_gym():
     agent = DQN(DQNConfig(hidden=(32, 32), lr=1e-3, tau=0.01, double_dqn=True,
                           eps_final_step=10_000))
     cfg = TrainerConfig(
-        max_opts=3_000, warmup_period=500, opt_interval=16, batch_size=64,
-        num_envs=32, steps_per_chunk=32, eval_interval=10**9,
+        max_opts=5_000, warmup_period=500, opt_interval=16, batch_size=64,
+        num_envs=32, steps_per_chunk=32, eval_interval=10**9, seed=1,
     )
     res = Trainer(env, agent, ReplayBuffer(8192), cfg).train()
 

@@ -341,3 +341,28 @@ def test_minari_package_branch_runs_on_hdf5_bytes(monkeypatch):
     np.testing.assert_array_equal(ds.data.obs, ds2.data.obs)
     np.testing.assert_array_equal(ds.data.act, ds2.data.act)
     np.testing.assert_array_equal(ds.data.terminated, ds2.data.terminated)
+
+
+def test_domain_converters_over_minari_format_corpora():
+    """Every registered d4rl-domain converter (pointmaze/antmaze/fetch/
+    kitchen) ingests a Minari-format corpus of its domain shape — the
+    registry breadth the reference spends ~1,600 LoC on
+    (border-minari/src/d4rl/**)."""
+    from border_tpu.data.minari import MinariDataset
+    from border_tpu.replay import ReplayBuffer
+
+    expect = {
+        "antmaze-demo-v0": 27 + 2,        # observation ++ desired_goal
+        "fetch-reach-demo-v0": 10 + 3,
+        "kitchen-demo-v0": 59,            # observation only
+        "pointmaze-demo-v0": 4 + 2,
+    }
+    for dataset_id, flat_dim in expect.items():
+        ds = MinariDataset.load(dataset_id)
+        assert ds.data.obs.shape[-1] == flat_dim, (
+            dataset_id, ds.data.obs.shape)
+        assert ds.data.next_obs.shape == ds.data.obs.shape
+        n = ds.get_num_transitions()
+        assert n > 0
+        state = ds.create_replay_buffer(ReplayBuffer(capacity=256))
+        assert int(state.size) == n
