@@ -54,8 +54,11 @@ class AtariCNN(nn.Module):
     skip_linear: bool = False  # expose conv features only (IQN ψ)
     dtype: Any = jnp.bfloat16
     # fold the /255 into conv1's kernel (numerics: allclose, not bitwise;
-    # param tree unchanged so checkpoints work in either mode)
-    scale_in_kernel: bool = False
+    # param tree unchanged so checkpoints work in either mode).  Default
+    # ON: removes two [B,84,84,4] bf16 elementwise passes per double-DQN
+    # update — measured +8% end-to-end updates/s on the v5e bench shape
+    # (971 → 1049 b512-eq/s, artifacts/update_variants_r4_opts2.json)
+    scale_in_kernel: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

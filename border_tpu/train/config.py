@@ -44,9 +44,11 @@ class TrainerConfig:
     num_envs: int = 128  # vectorized env axis (≙ N actors)
     steps_per_chunk: int = 64  # env steps fused per jitted outer step
     # prefetch the next update's replay sample inside the current scan
-    # iteration so the gather DMA overlaps the MXU compute (uniform replay
-    # only; PER stays sequential — its draw depends on fresh priorities)
-    prefetch_sample: bool = True
+    # iteration (uniform replay only).  Default OFF: measured a uniform
+    # ~12-15% LOSS on the v5e bench shape — carrying the 29 MB batch
+    # through the scan costs more than any gather/compute overlap buys
+    # (artifacts/update_variants_r4_opts.json)
+    prefetch_sample: bool = False
     # -- misc --------------------------------------------------------------
     seed: int = 0
     # async-equivalent (≙ AsyncTrainerConfig::sync_interval) — only used by
