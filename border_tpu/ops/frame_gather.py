@@ -14,15 +14,20 @@ scalar-prefetched indices — no VMEM staging, no gather lowering.  A pure-JAX
 reference implementation (:func:`gather_frames_ref`) is the correctness
 oracle on CPU and in tests.
 
-**Measured verdict (v5e, DQN-Pong bench config: 1024 envs, batch 512,
-capacity 256, (56,128)-tile frames, sync-correct timing): the XLA gather
-is ~7 % faster end-to-end** — 54.1k env-steps/s fused-trainer throughput
-(845 batch-512 CNN updates/s) with the native gather vs 50.4k (787/s) with
-this kernel.  2048 ≈7 KB DMAs per sample batch are latency-bound, while
-XLA emits one bulk gather over the tile-aligned flat layout.
-``FrameReplayBuffer`` therefore defaults to the XLA path; the kernel stays
-available (``use_pallas=True``) for frame sizes large enough for DMA
-bandwidth to dominate latency.
+**Measured verdict (v5e, r4 audit — committed artifacts):**
+
+- *Inside the fused update scan* (the trainer's hot path) the XLA gather
+  wins: 1049 vs 992 b512-eq updates/s on the bench config
+  (``artifacts/update_variants_r4_opts2.json``) — XLA fuses its gather
+  with the consumer pipeline; a Pallas call is a fusion barrier.
+- *Standalone* (the gather materialized, not feeding a fused consumer)
+  this kernel wins at small/medium frames: 1.38× at 7 KB (84×84), 1.09×
+  at 28 KB, 1.05× at 56 KB, parity at 112 KB
+  (``artifacts/frame_gather_sweep.json``, in-scan timing).
+
+``FrameReplayBuffer`` therefore defaults to the XLA gather
+(``use_pallas=None``); pass ``use_pallas=True`` for standalone gathers
+or larger-frame layouts where the DMA path wins.
 """
 
 from __future__ import annotations

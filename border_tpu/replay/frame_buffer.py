@@ -100,11 +100,13 @@ class FrameReplayBuffer:
         the reference documents but never implements
         (border-core/src/base/batch.rs:19-23).
 
-        ``use_pallas``: None/False (default) uses the XLA gather — measured
-        ~7 % faster end-to-end than the Pallas DMA kernel at 84×84 frame
-        sizes on v5e (see border_tpu/ops/frame_gather.py); True forces the
-        Pallas kernel, ``"interpret"`` runs it in interpreter mode (CPU
-        testing).
+        ``use_pallas``: None/False (default) uses the XLA gather, which
+        fuses with its consumers inside the fused update scan — measured
+        1049 vs 992 b512-eq updates/s against the Pallas kernel there
+        (artifacts/update_variants_r4_opts2.json).  The kernel wins for
+        STANDALONE gathers (1.38× at 7 KB frames, sweep in
+        artifacts/frame_gather_sweep.json) — set True for unfused use;
+        ``"interpret"`` runs it in interpreter mode (CPU testing).
 
         ``sample_mode``: "union" (default — ONE ascending stack+1-width
         gather shared by obs/next_obs: 5/8 the HBM bytes, measured +9%
