@@ -21,10 +21,13 @@ Timing methodology: every timed window ends with a device_get of a leaf of
 every output PLUS block_until_ready, because on the tunneled `axon`
 platform dispatch is deeply asynchronous and block_until_ready alone was
 measured returning before compute finished (apparent 47M env-steps/s ≈ 3.8
-PFLOP/s — physically impossible on one v5e).  With honest syncs the round-2
-fused Pong config ran ~850 batch-512 CNN updates/s ≈ 21 % of bf16 peak
-(the FLOP arithmetic is in ARCHITECTURE.md "Utilization arithmetic";
-benchmarks/profile_update.py measures each piece on the real chip).
+PFLOP/s — physically impossible on one v5e).  With honest syncs the fused Pong
+config runs ~1,049 batch-512 CNN updates/s after the round-4 optimization
+ladder (union frame gather + kernel-folded /255): the update compute
+alone measures 38.7 % of bf16 peak and the replay-sample tax is additive
+— the per-piece audit is artifacts/update_decomposition.json and the
+ladder artifacts/update_variants_r4_opts2.json (ARCHITECTURE.md
+"Round-4 performance work").
 """
 
 from __future__ import annotations
