@@ -83,14 +83,19 @@ def test_policy_cross_evaluation_on_gym():
     from border_tpu.replay import ReplayBuffer
     from border_tpu.train import Trainer, TrainerConfig, Evaluator
 
+    # the gate cartpole config at reduced scale — the most seed-robust
+    # DQN-CartPole recipe from the r3 stability sweep (n-step-3 backups,
+    # periodic hard target updates)
     env = make("CartPole-v1")
-    agent = DQN(DQNConfig(hidden=(32, 32), lr=1e-3, tau=0.01, double_dqn=True,
+    agent = DQN(DQNConfig(hidden=(64, 64), lr=5e-4, tau=1.0,
+                          soft_update_interval=500, double_dqn=True,
                           eps_final_step=10_000))
     cfg = TrainerConfig(
-        max_opts=5_000, warmup_period=500, opt_interval=16, batch_size=64,
-        num_envs=32, steps_per_chunk=32, eval_interval=10**9, seed=1,
+        max_opts=6_000, warmup_period=500, opt_interval=16, batch_size=128,
+        num_envs=64, steps_per_chunk=32, eval_interval=10**9, seed=1,
     )
-    res = Trainer(env, agent, ReplayBuffer(8192), cfg).train()
+    res = Trainer(env, agent,
+                  ReplayBuffer(32_768, n_step=3, stride=64), cfg).train()
 
     ev = Evaluator(env, n_episodes=5, max_steps=500)
     jax_score, _ = ev.evaluate(agent, res.agent_state)
