@@ -37,6 +37,7 @@ ENV_IDS = {
     ("CartPole-v1", True): 0, ("CartPole-v1", False): 0,
     ("Pendulum-v1", True): 1, ("Pendulum-v1", False): 1,
     ("Pong-v0", True): 2, ("Pong-v0", False): 3,
+    ("Breakout-v0", True): 4, ("Breakout-v0", False): 5,
 }
 
 

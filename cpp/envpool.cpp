@@ -329,12 +329,221 @@ struct PixelPong final : EnvBase {
   }
 };
 
+
+// 84×84 uint8 pixel Breakout — the host-native C++ twin of the on-device
+// JAX game (border_tpu/envs/breakout.py: 6×18 brick wall with ALE row
+// scores 7/7/4/4/1/1 top→bottom, 5 lives, FIRE-to-serve with auto-serve
+// fallback, offset-angle paddle control).  Same preprocessing stack as
+// PixelPong (frame-skip-4 + max-pool of the last two raw frames, 4-frame
+// stack ring, 27k cap) and the reference's episodic-life TRAINING
+// semantics: in train mode each life loss terminates the learning
+// episode WITHOUT resetting the game (≙ BorderAtariEnv episodic life,
+// border-atari-env/src/env.rs:263-299).
+struct PixelBreakout final : EnvBase {
+  static constexpr int kH = 84, kW = 84, kStack = 4;
+  static constexpr int kFrame = kH * kW;
+  static constexpr int kRows = 6, kCols = 18;
+  static constexpr float kBandTop = 0.20f, kBrickH = 0.03f;
+  static constexpr float kBandBot = kBandTop + kRows * kBrickH;
+  static constexpr float kPaddleY = 0.93f, kPaddleHalf = 0.055f,
+                         kPaddleSpeed = 0.03f, kBallR = 0.012f,
+                         kBallSpeed = 0.017f;
+  static constexpr int kLives = 5, kAutoServe = 45, kFrameSkip = 4;
+  static constexpr int kMaxFrames = 27000;
+
+  bool clip_reward;  // train mode: sign clip + episodic life
+  bool bricks[kRows][kCols];
+  float bx, by, vx, vy, px;
+  int lives = kLives, idle = 0, frame_count = 0;
+  bool launched = false;
+  uint8_t planes[kStack][kFrame];
+  int start = 0;
+
+  explicit PixelBreakout(bool clip) : clip_reward(clip) {}
+
+  int obs_dim() const override { return kFrame * kStack; }
+  int obs_dtype() const override { return 1; }
+  int num_actions() const override { return 4; }
+
+  static float row_score(int r) {
+    static const float s[kRows] = {7.f, 7.f, 4.f, 4.f, 1.f, 1.f};
+    return s[r];
+  }
+
+  // one emulator frame (≙ Breakout.frame_step, envs/breakout.py);
+  // accumulates a life-loss flag and sets *game_over
+  float frame_step(std::mt19937 &rng, int a, bool *life_lost,
+                   bool *game_over) {
+    const float move = (a == 2 ? 1.0f : 0.0f) - (a == 3 ? 1.0f : 0.0f);
+    px = std::fmax(kPaddleHalf,
+                   std::fmin(1.0f - kPaddleHalf, px + move * kPaddleSpeed));
+
+    // serve: FIRE or auto after kAutoServe idle frames
+    const bool fire = a == 1 || idle >= kAutoServe;
+    if (!launched && fire) {
+      std::uniform_real_distribution<float> dang(-0.7f, 0.7f);
+      const float ang = dang(rng);
+      vx = kBallSpeed * std::sin(ang);
+      vy = -kBallSpeed * std::cos(ang);
+      launched = true;
+    }
+    idle = launched ? 0 : idle + 1;
+
+    if (!launched) {  // ball rides the paddle
+      bx = px;
+      by = kPaddleY - 0.03f;
+      return 0.0f;
+    }
+    bx += vx;
+    by += vy;
+
+    // wall bounces
+    if (bx < kBallR || bx > 1.0f - kBallR) vx = -vx;
+    bx = std::fmax(kBallR, std::fmin(1.0f - kBallR, bx));
+    if (by < kBallR) vy = -vy;
+    by = std::fmax(by, kBallR);
+
+    // paddle bounce with offset-angle control
+    if (vy > 0 && by >= kPaddleY - kBallR && by <= kPaddleY + 0.02f &&
+        std::fabs(bx - px) <= kPaddleHalf + kBallR) {
+      const float offset =
+          std::fmax(-1.0f, std::fmin(1.0f, (bx - px) / kPaddleHalf));
+      vx = kBallSpeed * offset * 0.9f;
+      vy = -std::fabs(vy);
+    }
+
+    // brick collision: cell under the ball → clear + bounce + row score
+    float reward = 0.0f;
+    if (by >= kBandTop && by < kBandBot) {
+      int row = (int)((by - kBandTop) / kBrickH);
+      row = std::max(0, std::min(kRows - 1, row));
+      int col = (int)(bx * kCols);
+      col = std::max(0, std::min(kCols - 1, col));
+      if (bricks[row][col]) {
+        bricks[row][col] = false;
+        reward = row_score(row);
+        vy = -vy;
+      }
+    }
+
+    // life loss: ball below the paddle line
+    if (by > 1.0f - kBallR) {
+      --lives;
+      *life_lost = true;
+      launched = false;
+      bx = px;
+      by = kPaddleY - 0.03f;
+      vx = vy = 0.0f;
+    }
+
+    bool cleared = true;
+    for (int r = 0; r < kRows && cleared; ++r)
+      for (int c = 0; c < kCols; ++c)
+        if (bricks[r][c]) { cleared = false; break; }
+    *game_over = lives <= 0 || cleared;
+    return reward;
+  }
+
+  // grayscale render (≙ Breakout.render: bricks 110, paddle 147, ball 236)
+  void render(uint8_t *f) const {
+    std::memset(f, 0, kFrame);
+    // brick band
+    for (int y = 0; y < kH; ++y) {
+      const float yf = (float)y / (kH - 1);
+      if (yf < kBandTop || yf >= kBandBot) continue;
+      int row = (int)((yf - kBandTop) / kBrickH);
+      row = std::max(0, std::min(kRows - 1, row));
+      for (int x = 0; x < kW; ++x) {
+        int col = (int)((float)x / (kW - 1) * kCols);
+        col = std::max(0, std::min(kCols - 1, col));
+        if (bricks[row][col]) f[y * kW + x] = 110;
+      }
+    }
+    auto draw = [&](float cx, float cy, float hw, float hh, uint8_t v) {
+      int x0 = (int)std::ceil((cx - hw) * (kW - 1));
+      int x1 = (int)std::floor((cx + hw) * (kW - 1));
+      int y0 = (int)std::ceil((cy - hh) * (kH - 1));
+      int y1 = (int)std::floor((cy + hh) * (kH - 1));
+      x0 = std::max(x0, 0); x1 = std::min(x1, kW - 1);
+      y0 = std::max(y0, 0); y1 = std::min(y1, kH - 1);
+      for (int y = y0; y <= y1; ++y)
+        for (int x = x0; x <= x1; ++x)
+          f[y * kW + x] = std::max(f[y * kW + x], v);
+    };
+    draw(px, kPaddleY, kPaddleHalf, 0.012f, 147);
+    if (launched) draw(bx, by, kBallR, kBallR, 236);
+  }
+
+  void write_obs_u8(uint8_t *obs) const {
+    for (int k = 0; k < kStack; ++k) {
+      const uint8_t *p = planes[(start + k) % kStack];
+      for (int i = 0; i < kFrame; ++i) obs[i * kStack + k] = p[i];
+    }
+  }
+
+  void reset(std::mt19937 &rng, void *obs_v) override {
+    std::uniform_real_distribution<float> dx(0.3f, 0.7f);
+    for (int r = 0; r < kRows; ++r)
+      for (int c = 0; c < kCols; ++c) bricks[r][c] = true;
+    px = dx(rng);
+    bx = dx(rng);
+    by = kPaddleY - 0.05f;
+    vx = vy = 0.0f;
+    lives = kLives;
+    launched = false;
+    idle = 0;
+    frame_count = 0;
+    render(planes[0]);
+    for (int k = 1; k < kStack; ++k)
+      std::memcpy(planes[k], planes[0], kFrame);
+    start = 0;
+    write_obs_u8(static_cast<uint8_t *>(obs_v));
+  }
+
+  void step(std::mt19937 &rng, int action, void *obs_v, void *final_obs_v,
+            float *reward, uint8_t *terminated, uint8_t *truncated) override {
+    float total_r = 0.0f;
+    bool life_lost = false, game_over = false;
+    uint8_t f2[kFrame], f3[kFrame];
+    for (int k = 0; k < kFrameSkip; ++k) {
+      if (!game_over)
+        total_r += frame_step(rng, action, &life_lost, &game_over);
+      if (k == kFrameSkip - 2) render(f2);
+      if (k == kFrameSkip - 1) render(f3);
+    }
+    for (int i = 0; i < kFrame; ++i) f2[i] = std::max(f2[i], f3[i]);
+    std::memcpy(planes[start], f2, kFrame);
+    start = (start + 1) % kStack;
+    frame_count += kFrameSkip;
+
+    // train mode: each life loss ends the LEARNING episode; the game
+    // itself continues (episodic life).  eval mode: full games only.
+    const bool term = clip_reward ? (life_lost || game_over) : game_over;
+    const bool trunc = !term && frame_count >= kMaxFrames;
+    *terminated = term;
+    *truncated = trunc;
+    *reward = clip_reward
+                  ? (total_r > 0 ? 1.0f : (total_r < 0 ? -1.0f : 0.0f))
+                  : total_r;
+    write_obs_u8(static_cast<uint8_t *>(final_obs_v));
+    if (game_over || trunc) {
+      reset(rng, obs_v);
+    } else if (obs_v != final_obs_v) {
+      // episodic-life termination (or plain step): next obs continues
+      // the running game
+      std::memcpy(obs_v, final_obs_v, obs_bytes());
+    }
+  }
+};
+
 EnvBase *make_env(int env_id) {
   switch (env_id) {
     case 0: return new CartPole();
     case 1: return new Pendulum();
     case 2: return new PixelPong(/*clip=*/true);   // train mode
     case 3: return new PixelPong(/*clip=*/false);  // eval mode
+    case 4: return new PixelBreakout(/*clip=*/true);   // train mode
+    case 5: return new PixelBreakout(/*clip=*/false);  // eval mode
     default: return nullptr;
   }
 }

@@ -102,3 +102,74 @@ def test_async_feeder_pipeline_order():
     f.close()
     assert len(outs) == 50
     assert all(o[0].shape == (16, 4) for o in outs)
+
+
+def test_native_pixel_breakout_mechanics():
+    """C++ PixelBreakout (envpool id 4/5): obs format, row scoring in
+    eval mode, episodic-life train semantics — the host-native path is
+    not a Pong one-off."""
+    import numpy as np
+
+    from border_tpu.envs.native import NativeVecEnv
+
+    # eval mode: raw row scores, full-game episodes
+    env = NativeVecEnv("Breakout-v0", 4, seed=9, train=False)
+    assert env.observation_space.shape == (84, 84, 4)
+    assert env.action_space.n == 4
+    obs = env.reset()
+    assert obs.dtype == np.uint8 and obs.shape == (4, 84, 84, 4)
+    rng = np.random.default_rng(0)
+    total = np.zeros(4)
+    terms = 0
+    for _ in range(800):
+        a = rng.integers(0, 4, 4)
+        obs, rew, term, trunc = env.step(a.astype(np.int32))
+        total += rew
+        terms += int(term.sum())
+    env.close()
+    assert total.sum() > 0, "random play never broke a brick"
+    # eval rewards are raw row scores (1/4/7 per brick within a skip)
+    # → all returns integral
+    assert np.allclose(total, np.round(total))
+
+    # train mode: sign-clipped rewards, episodic-life terminations come
+    # faster than full games (5 lives per game)
+    env_t = NativeVecEnv("Breakout-v0", 4, seed=9, train=True)
+    env_t.reset()
+    rews, terms_t = [], 0
+    for _ in range(800):
+        a = rng.integers(0, 4, 4)
+        obs, rew, term, trunc = env_t.step(a.astype(np.int32))
+        rews.append(rew)
+        terms_t += int(term.sum())
+    env_t.close()
+    r = np.concatenate(rews)
+    assert set(np.unique(r)).issubset({0.0, 1.0}), "train rewards not sign-clipped"
+    assert terms_t > terms, (
+        "episodic-life should terminate more often than full games"
+    )
+
+
+def test_host_trainer_breakout_smoke():
+    """HostEnvTrainer drives the C++ Breakout end to end (frame mode:
+    newest-frame uploads + device stack ring)."""
+    import numpy as np
+
+    from border_tpu.agents import DQN, DQNConfig
+    from border_tpu.models import AtariCNN
+    from border_tpu.replay import FrameReplayBuffer
+    from border_tpu.train import HostEnvTrainer, TrainerConfig
+
+    cfg = TrainerConfig(max_opts=2, warmup_period=32, opt_interval=32,
+                        batch_size=8, num_envs=8, steps_per_chunk=8,
+                        eval_interval=10**9, seed=3)
+    tr = HostEnvTrainer("Breakout-v0", DQN(DQNConfig(
+        model=lambda n: AtariCNN(out_dim=n), lr=1e-4)),
+        FrameReplayBuffer(capacity=32, num_envs=8), cfg)
+    res = tr.train()
+    tr.env.close()
+    assert res.opt_steps >= 2
+    import jax
+
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(res.agent_state.params))
