@@ -41,7 +41,8 @@ def _sync(*trees):
 
 def time_config(variant: str, batch_size: int, n_chunks: int = 8,
                 sample_mode: str = "separate", prefetch: bool = False,
-                scale_in_kernel: bool = False, use_pallas=None):
+                scale_in_kernel: bool = False, use_pallas=None,
+                unroll: int = 1):
     env = make("Pong-v0")
     agent = DQN(DQNConfig(
         model=lambda n: AtariCNN(out_dim=n, scale_in_kernel=scale_in_kernel),
@@ -51,6 +52,7 @@ def time_config(variant: str, batch_size: int, n_chunks: int = 8,
         num_envs=1024, steps_per_chunk=32, batch_size=batch_size,
         opt_interval=batch_size // 8,  # keep 8 samples per transition
         warmup_period=0, max_opts=10**9, prefetch_sample=prefetch,
+        update_scan_unroll=unroll,
     )
     buf = FrameReplayBuffer(capacity=256, num_envs=1024,
                             sample_mode=sample_mode, use_pallas=use_pallas)

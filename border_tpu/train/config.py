@@ -49,6 +49,10 @@ class TrainerConfig:
     # through the scan costs more than any gather/compute overlap buys
     # (artifacts/update_variants_r4_opts.json)
     prefetch_sample: bool = False
+    # lax.scan unroll factor for the update scan: unrolled bodies cut the
+    # while-loop bookkeeping and let XLA schedule one body's replay
+    # gather against the neighboring body's MXU compute
+    update_scan_unroll: int = 1
     # -- misc --------------------------------------------------------------
     seed: int = 0
     # async-equivalent (≙ AsyncTrainerConfig::sync_interval) — only used by

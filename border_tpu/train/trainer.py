@@ -227,7 +227,8 @@ class Trainer:
                 return (agent_state, next_batch), metrics
 
             (agent_state, _), metrics = jax.lax.scan(
-                body, (agent_state, batch0), keys[1:]
+                body, (agent_state, batch0), keys[1:],
+                unroll=self.config.update_scan_unroll,
             )
             return agent_state, buf_state, jax.tree.map(jnp.mean, metrics)
 
@@ -247,7 +248,8 @@ class Trainer:
             return (agent_state, buf_state), metrics
 
         (agent_state, buf_state), metrics = jax.lax.scan(
-            body, (agent_state, buf_state), keys[1:]
+            body, (agent_state, buf_state), keys[1:],
+            unroll=self.config.update_scan_unroll,
         )
         mean_metrics = jax.tree.map(jnp.mean, metrics)
         return agent_state, buf_state, mean_metrics
