@@ -75,7 +75,7 @@ class DQNConfig:
     #                (same FLOPs, half the dispatches; numerics-identical —
     #                test_agents).  Measured ≥ "separate" at every batch
     #                size on the fused Pong CNN config
-    #                (artifacts/update_variants_inscan.json).
+    #                (artifacts/update_variants_inscan_steady.json).
     #   "separate" — online-argmax forward and target forward as two
     #                applies (the reference's shape, dqn/base.rs:91-105).
     #                ~20% faster than stacked for the tiny-MLP configs
