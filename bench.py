@@ -90,9 +90,10 @@ def gate() -> int:
                 continue
             final_med = statistics.median(finals)
             seed_pass = target is None or final_med >= target
+            best = max((pt["best"] for pt in d["curve"]), default=None)
             seeds[str(d.get("seed", "?"))] = {
                 "final_median": round(float(final_med), 2),
-                "best": round(float(max(pt["best"] for pt in d["curve"])), 2),
+                "best": None if best is None else round(float(best), 2),
                 "pass": seed_pass,
             }
             passed = passed and seed_pass

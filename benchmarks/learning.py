@@ -340,7 +340,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache_cpu")
     if args.config == "assemble":
-        assemble(args.out or os.path.join(ARTIFACTS, "..", "LEARNING_r3.json"))
+        assemble(args.out or os.path.join(ARTIFACTS, "..", "LEARNING_r4.json"))
         return
     out = args.out or os.path.join(ARTIFACTS, f"{args.config}_curve.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -117,7 +117,12 @@ class MinariDataset:
         except ImportError:
             minari = None
         if minari is not None:
-            return cls._from_minari_pkg(dataset_id, minari, converter)
+            try:
+                return cls._from_minari_pkg(dataset_id, minari, converter)
+            except Exception:
+                # unknown to the package (or its download failed): the
+                # on-disk Minari-format search below must stay reachable
+                pass
         h5 = _find_minari_hdf5(dataset_id)
         if h5 is not None:
             return cls._from_minari_hdf5(dataset_id, h5, converter)
@@ -163,7 +168,7 @@ class MinariDataset:
         Minari dataset with only h5py installed (≙ the dataset parsing
         border-minari does through pyo3, dataset.rs:64-100)."""
         conv = converter or converter_for(dataset_id)
-        episodes, env_name = load_minari_hdf5(path)
+        episodes, meta = load_minari_hdf5(path)
         eps = [{
             "obs": conv.convert_observation(ep["observations"]),
             "act": conv.convert_action(ep["actions"]),
@@ -173,7 +178,10 @@ class MinariDataset:
         return cls(
             dataset_id=dataset_id,
             data=OfflineDataset.from_episodes(eps),
-            env_name=env_name,
+            env_name=meta.get("env_name"),
+            ref_min=meta.get("ref_min"),
+            ref_max=meta.get("ref_max"),
+            behavior_return=meta.get("behavior_return"),
         )
 
     @classmethod
@@ -292,12 +300,14 @@ def _find_minari_hdf5(dataset_id: str) -> Optional[str]:
 
 
 def load_minari_hdf5(path: str):
-    """Parse a Minari-format HDF5 file → (episodes, env_name).
+    """Parse a Minari-format HDF5 file → (episodes, meta).
 
     Episodes are dicts with T+1-row ``observations`` (dict obs become
     {key: [T+1, ...]} dicts), T-row actions/rewards/terminations/
     truncations — the exact shape ``minari.load_dataset`` episodes expose
-    (and which border-minari consumes at dataset.rs:64-100)."""
+    (and which border-minari consumes at dataset.rs:64-100).  ``meta``
+    carries env_name plus the evaluation attrs the package path exposes
+    (ref_min/ref_max D4RL reference scores, behavior_return)."""
     import h5py
 
     episodes = []
@@ -320,14 +330,19 @@ def load_minari_hdf5(path: str):
                 "terminations": np.asarray(g["terminations"]),
                 "truncations": np.asarray(g["truncations"]),
             })
-        env_name = None
+        meta = {}
         spec = f.attrs.get("env_spec")
         if spec is not None:
             try:
-                env_name = json.loads(spec).get("id")
+                meta["env_name"] = json.loads(spec).get("id")
             except (TypeError, ValueError):
-                env_name = None
-    return episodes, env_name
+                pass
+        for attr, key in (("ref_min_score", "ref_min"),
+                          ("ref_max_score", "ref_max"),
+                          ("behavior_return", "behavior_return")):
+            if attr in f.attrs:
+                meta[key] = float(f.attrs[attr])
+    return episodes, meta
 
 
 def list_local_datasets() -> List[str]:

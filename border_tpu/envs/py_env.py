@@ -61,7 +61,8 @@ class PyVecEnv:
     """
 
     def __init__(self, env_fns: Sequence[Callable[[], Any]], seed: int = 0,
-                 n_threads: Optional[int] = None, flatten_dict: bool = True):
+                 n_threads: Optional[int] = None, flatten_dict: bool = True,
+                 flatten_keys: Optional[Sequence[str]] = None):
         self.envs = [fn() for fn in env_fns]
         self.num_envs = len(self.envs)
         self._seed = seed
@@ -69,15 +70,40 @@ class PyVecEnv:
         # built-in Dict-obs flattening (≙ the dict-obs converters the
         # reference ships for robotics envs, border-py-gym-env/src/candle/*
         # and f32_wrapper.py): external robotics-style envs train without a
-        # user-written wrapper (VERDICT r3 next #3)
+        # user-written wrapper (VERDICT r3 next #3).
+        #
+        # ``flatten_keys`` selects WHICH keys, in WHICH order (e.g.
+        # ("observation", "desired_goal") to match GoalDictConverter's
+        # offline-dataset layout, data/minari.py — required when running a
+        # dataset-trained policy on the live env); None uses gymnasium's
+        # canonical flatten (ALL keys, alphabetical).
         self._flatten_obs = flatten_dict and type(gs).__name__ == "Dict"
+        self._flatten_keys = tuple(flatten_keys) if flatten_keys else None
         if self._flatten_obs:
             import gymnasium
 
             self._gym_obs_space = gs
-            self.observation_space = _to_space(
-                gymnasium.spaces.utils.flatten_space(gs)
-            )
+            if self._flatten_keys is not None:
+                missing = [k for k in self._flatten_keys if k not in gs.spaces]
+                if missing:
+                    raise KeyError(
+                        f"flatten_keys {missing} not in the env's Dict obs "
+                        f"space (has {sorted(gs.spaces)})"
+                    )
+                dim = sum(
+                    int(np.prod(gs.spaces[k].shape) or 1)
+                    for k in self._flatten_keys
+                )
+                from border_tpu.core import spaces as _sp
+                import jax.numpy as _jnp
+
+                self.observation_space = _sp.Box(
+                    -np.inf, np.inf, (dim,), _jnp.float32
+                )
+            else:
+                self.observation_space = _to_space(
+                    gymnasium.spaces.utils.flatten_space(gs)
+                )
         else:
             self.observation_space = _to_space(gs)
         self.action_space = _to_space(self.envs[0].action_space)
@@ -98,18 +124,25 @@ class PyVecEnv:
 
     @classmethod
     def gym(cls, env_name: str, num_envs: int, seed: int = 0,
-            n_threads: Optional[int] = None, **make_kwargs) -> "PyVecEnv":
+            n_threads: Optional[int] = None,
+            flatten_keys: Optional[Sequence[str]] = None,
+            **make_kwargs) -> "PyVecEnv":
         import gymnasium
 
         return cls(
             [lambda: gymnasium.make(env_name, **make_kwargs)
              for _ in range(num_envs)],
-            seed=seed, n_threads=n_threads,
+            seed=seed, n_threads=n_threads, flatten_keys=flatten_keys,
         )
 
     def _obs(self, o):
         """Per-env obs → flat array (Dict obs flattened in key order)."""
         if self._flatten_obs:
+            if self._flatten_keys is not None:
+                return np.concatenate(
+                    [np.asarray(o[k], np.float32).ravel()
+                     for k in self._flatten_keys]
+                )
             import gymnasium
 
             return gymnasium.spaces.utils.flatten(self._gym_obs_space, o)

@@ -45,7 +45,9 @@ from border_tpu.record.recorder import NullRecorder, Recorder
 from border_tpu.replay.buffer import ReplayBuffer, Transition
 from border_tpu.replay.frame_buffer import FrameReplayBuffer
 from border_tpu.train.config import TrainerConfig
-from border_tpu.train.trainer import TrainResult
+from border_tpu.train.trainer import (
+    TrainResult, _reconcile_next_cadence,
+)
 
 
 def _make_host_env(env: Union[str, Any], num_envs: int, seed: int,
@@ -283,9 +285,21 @@ class HostEnvTrainer:
                 "next_eval": 0, "next_flush": 0, "next_ckpt": 0,
                 "update_debt": 0.0, "next_save": 0, "next_agent_info": 0,
             }
-            restored = resume_from.restore(
-                agent_state, buf_state, key=k_loop, extra=tmpl_extra,
-            )
+            try:
+                restored = resume_from.restore(
+                    agent_state, buf_state, key=k_loop, extra=tmpl_extra,
+                )
+            except Exception:
+                # checkpoints written before the r4 cadence keys existed
+                # carry a smaller extra dict — restore with the legacy
+                # template and default the new counters
+                legacy = {k: v for k, v in tmpl_extra.items()
+                          if k not in ("next_save", "next_agent_info")}
+                restored = resume_from.restore(
+                    agent_state, buf_state, key=k_loop, extra=legacy,
+                )
+                restored["extra"]["next_save"] = -2  # sentinel: unknown
+                restored["extra"]["next_agent_info"] = 0
             agent_state = restored["agent_state"]
             buf_state = restored["buffer_state"]
             k_loop = restored["key"]
@@ -297,7 +311,9 @@ class HostEnvTrainer:
             next_flush = int(ex["next_flush"])
             next_ckpt = int(ex["next_ckpt"])
             update_debt = float(ex["update_debt"])
-            next_save = int(ex["next_save"]) if int(ex["next_save"]) >= 0 else None
+            next_save = _reconcile_next_cadence(
+                int(ex["next_save"]), c.save_interval, opt_steps
+            )
             next_agent_info = int(ex["next_agent_info"])
 
         feeder = AsyncEnvFeeder(self.env, step_fn=self.env.step_final)
@@ -408,13 +424,16 @@ class HostEnvTrainer:
                     )
                     next_agent_info = opt_steps + c.record_agent_info_interval
 
-                # periodic model saves (≙ trainer.rs:259-261)
+                # periodic model saves (≙ trainer.rs:259-261).  Advance
+                # PAST the current opt count: a burst crossing several
+                # cadence points saves once, and the counter can never
+                # fall behind opt_steps
                 if next_save is not None and opt_steps >= next_save:
                     if self.recorder.model_dir is not None:
                         self.recorder.save_model(
                             str(opt_steps), self.agent, agent_state
                         )
-                    next_save += c.save_interval
+                    next_save = opt_steps + c.save_interval
 
                 if (
                     self.checkpoint_manager is not None

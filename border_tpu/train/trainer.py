@@ -42,6 +42,21 @@ from border_tpu.train.config import TrainerConfig
 from border_tpu.train.evaluator import Evaluator
 
 
+def _reconcile_next_cadence(stored: int, interval: int, opt_steps: int):
+    """Reconcile a restored cadence counter with the CURRENT config.
+
+    The stored value is only meaningful while the feature stays enabled:
+    interval=0 now means disabled (None) regardless of history; enabled
+    now but disabled/unknown before (stored < 0) schedules the next
+    firing one interval from the current position.  Keeps a zero
+    interval out of the advance arithmetic entirely."""
+    if not interval:
+        return None
+    if stored < 0:
+        return opt_steps + interval
+    return max(stored, opt_steps - opt_steps % interval)
+
+
 @dataclasses.dataclass
 class TrainResult:
     """Final states + throughput stats (≙ AsyncTrainStat,
@@ -376,7 +391,9 @@ class Trainer:
             opt_steps = int(ex["opt_steps"])
             best_score = float(ex["best_score"])
             next_eval = int(ex["next_eval"])
-            next_save = int(ex["next_save"]) if int(ex["next_save"]) >= 0 else None
+            next_save = _reconcile_next_cadence(
+                int(ex["next_save"]), c.save_interval, opt_steps
+            )
             next_flush = int(ex["next_flush"])
             self._next_ckpt = int(ex["next_ckpt"])
             self._next_agent_info = int(ex["next_agent_info"])
@@ -481,7 +498,9 @@ class Trainer:
             if next_save is not None and opt_steps >= next_save:
                 if self.recorder.model_dir is not None:
                     self.recorder.save_model(str(opt_steps), self.agent, agent_state)
-                next_save += c.save_interval
+                # advance PAST the current opt count: a chunk crossing
+                # several cadence points saves once and never falls behind
+                next_save = opt_steps + c.save_interval
 
             if (
                 self.checkpoint_manager is not None

@@ -112,3 +112,56 @@ def test_host_trainer_midkill_resume_cadences(tmp_path):
     # point, and the future cadence fired
     assert saves2, "no periodic saves after resume"
     assert min(saves2) > max(saves1), (saves1, saves2)
+
+
+def test_reconcile_next_cadence():
+    """Resume-time cadence reconciliation (code-review r4): disabling
+    save_interval disables saves regardless of history; enabling it after
+    a no-save run schedules from the current position; a stale counter
+    can never fall behind opt_steps (which would fire every iteration)."""
+    from border_tpu.train.trainer import _reconcile_next_cadence as rec
+
+    assert rec(16, 0, 20) is None          # disabled now → None
+    assert rec(-1, 8, 20) == 28            # was disabled → schedule ahead
+    assert rec(16, 8, 12) == 16            # normal continuation
+    # stale counter far behind opt_steps advances to the current boundary
+    assert rec(8, 8, 100) == 96
+
+
+def test_host_trainer_resumes_legacy_checkpoint(tmp_path):
+    """A checkpoint written WITHOUT the r4 cadence keys (pre-change
+    layout) still resumes: the restore falls back to the legacy extra
+    template and defaults the new counters (code-review r4 #1)."""
+    import jax
+
+    from border_tpu.utils import CheckpointManager
+
+    base = dict(CFG)
+    base.update(eval_interval=10**9, record_agent_info_interval=0,
+                save_interval=0)
+    cfg1 = TrainerConfig(**{**base, "max_opts": 12})
+    t1 = HostEnvTrainer("CartPole-v1", DQN(DQNConfig(hidden=(8,))),
+                        ReplayBuffer(512), cfg1)
+    # run briefly, then write a LEGACY-layout checkpoint by hand
+    res1 = t1.train()
+    t1.env.close()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    mgr.save(res1.opt_steps, res1.agent_state, res1.buffer_state,
+             key=jax.random.PRNGKey(0),
+             extra={"env_steps": res1.env_steps,
+                    "opt_steps": res1.opt_steps,
+                    "best_score": 0.0, "next_eval": 10**9,
+                    "next_flush": 8, "next_ckpt": 0,
+                    "update_debt": 0.0})
+
+    cfg2 = TrainerConfig(**{**base, "max_opts": 24, "save_interval": 8})
+    rec2 = BufferedRecorder(model_dir=str(tmp_path / "m2"))
+    t2 = HostEnvTrainer("CartPole-v1", DQN(DQNConfig(hidden=(8,))),
+                        ReplayBuffer(512), cfg2, recorder=rec2)
+    res2 = t2.train(resume_from=mgr)
+    t2.env.close()
+    mgr.close()
+    assert res2.opt_steps >= 24
+    # newly-enabled periodic saves fired (scheduled from the resume point)
+    saves = [d for d in os.listdir(rec2.model_dir) if d.isdigit()]
+    assert saves, "save_interval enabled on resume produced no saves"

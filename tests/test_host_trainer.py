@@ -318,3 +318,52 @@ def test_sac_trains_on_real_gymnasium_pendulum():
     res = tr.train()
     tr.env.close()
     assert res.best_score > base + 150, (base, res.best_score)
+
+
+def test_pyvecenv_flatten_keys_matches_goal_dict_converter():
+    """With flatten_keys, PyVecEnv's live obs layout matches
+    GoalDictConverter's offline-dataset layout (observation ++
+    desired_goal) — required to run a dataset-trained policy on the env
+    (code-review r4: the canonical gymnasium flatten is alphabetical and
+    includes achieved_goal, a DIFFERENT layout)."""
+    import gymnasium
+    import numpy as np
+
+    from border_tpu.data.minari import GoalDictConverter
+    from border_tpu.envs.py_env import PyVecEnv
+
+    class DictReach(gymnasium.Env):
+        observation_space = gymnasium.spaces.Dict({
+            "achieved_goal": gymnasium.spaces.Box(-1, 1, (2,), np.float32),
+            "desired_goal": gymnasium.spaces.Box(-1, 1, (2,), np.float32),
+            "observation": gymnasium.spaces.Box(-1, 1, (4,), np.float32),
+        })
+        action_space = gymnasium.spaces.Box(-1, 1, (2,), np.float32)
+
+        def reset(self, seed=None, options=None):
+            rng = np.random.default_rng(seed)
+            self._o = {
+                "achieved_goal": rng.uniform(-1, 1, 2).astype(np.float32),
+                "desired_goal": rng.uniform(-1, 1, 2).astype(np.float32),
+                "observation": rng.uniform(-1, 1, 4).astype(np.float32),
+            }
+            return self._o, {}
+
+        def step(self, a):
+            return self._o, 0.0, False, False, {}
+
+    vec = PyVecEnv([DictReach for _ in range(2)], seed=0,
+                   flatten_keys=("observation", "desired_goal"))
+    assert vec.observation_space.shape == (6,)  # 4 + 2, no achieved_goal
+    obs = vec.reset()
+    conv = GoalDictConverter()  # operates on [T, feat] episode arrays
+    want = conv.convert_observation(
+        {k: v[None] for k, v in vec.envs[0]._o.items()}
+    )[0]
+    np.testing.assert_allclose(obs[0], want)
+
+    # unknown key is rejected loudly
+    import pytest
+
+    with pytest.raises(KeyError, match="flatten_keys"):
+        PyVecEnv([DictReach for _ in range(1)], flatten_keys=("nope",))
