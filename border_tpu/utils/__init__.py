@@ -1,6 +1,7 @@
 """Utilities: checkpointing, profiling, policy export, config construction,
 live display / frame capture."""
 
+from border_tpu.utils.cache import enable_compilation_cache  # noqa: F401
 from border_tpu.utils.checkpoint import CheckpointManager  # noqa: F401
 from border_tpu.utils.window import FrameRecorder, TerminalWindow  # noqa: F401
 from border_tpu.utils.profiling import profile_trace  # noqa: F401

@@ -23,9 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+from border_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # <repo>/.jax_cache, derived from the checkout
 
 from border_tpu.agents import DQN, DQNConfig
 from border_tpu.envs import make

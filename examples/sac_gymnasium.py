@@ -24,9 +24,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+from border_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # <repo>/.jax_cache, derived from the checkout
 
 from border_tpu.agents import SAC, SACConfig
 from border_tpu.envs import PyVecEnv
@@ -50,8 +50,7 @@ def main():
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache_cpu")
+        enable_compilation_cache(".jax_cache_cpu")
 
     cfg = TrainerConfig(
         max_opts=args.max_opts, warmup_period=1_000, opt_interval=8,
