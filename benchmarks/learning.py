@@ -46,7 +46,7 @@ TARGETS = {"cartpole": 200.0, "pendulum": -200.0, "pong": 18.0,
            "seaquest": 200.0, "breakout": 100.0, "freeway": 30.0,
            "spaceinvaders": 600.0, "pong_host": 18.0,
            "pendulum_host": -200.0, "breakout_host": 100.0,
-           "pong_per": 18.0,
+           "pong_per": 18.0, "pong_slice": 18.0,
            # offline configs score on the D4RL-normalized scale; targets
            # BEAT the behavior policy's normalized score (computed from the
            # committed dataset metadata: fetch-reacher behavior 77.81,
@@ -242,6 +242,23 @@ def _build(config: str, seed: int):
         evaluator = Evaluator(make("Pong-v0", train=False), n_episodes=10,
                               max_steps=3_000)
         meta = {"env": "Pong-v0", "agent": "DQN+AtariCNN (PER)"}
+    elif config == "pong_slice":
+        # learning evidence for sample_mode="slice" (the r5 streaming
+        # replay sampler, frame_buffer.py): identical per-sample values,
+        # group-stratified draws — must train Pong to the same ≥18 bar
+        # as the gather-based configs
+        env = make("Pong-v0")
+        agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4,
+                              double_dqn=True, soft_update_interval=2_000,
+                              tau=1.0, eps_final_step=2_000_000))
+        cfg = TrainerConfig(max_opts=60_000, warmup_period=50_000,
+                            opt_interval=64, batch_size=512, num_envs=1024,
+                            steps_per_chunk=32, eval_interval=2_000, seed=seed)
+        buffer = FrameReplayBuffer(capacity=512, num_envs=1024,
+                                   sample_mode="slice")
+        evaluator = Evaluator(make("Pong-v0", train=False), n_episodes=10,
+                              max_steps=3_000)
+        meta = {"env": "Pong-v0", "agent": "DQN+AtariCNN (slice sampling)"}
     elif config == "pendulum_host":
         # continuous control through the host path on REAL Gymnasium —
         # the reference's sac_pendulum shape end to end

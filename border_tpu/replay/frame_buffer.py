@@ -93,6 +93,7 @@ class FrameReplayBuffer:
         use_pallas: Optional[Any] = None,
         per: Optional[PerConfig] = None,
         sample_mode: str = "union",
+        slice_group: int = 64,
     ):
         """``n_step > 1`` enables n-step backups: sampled batches carry
         ``reward = Σ γ^k r_{t+k}`` (stopped at the first episode boundary),
@@ -110,9 +111,37 @@ class FrameReplayBuffer:
 
         ``sample_mode``: "union" (default — ONE ascending stack+1-width
         gather shared by obs/next_obs: 5/8 the HBM bytes, measured +9%
-        end-to-end updates/s on the v5e bench shape) or "separate" (two
-        stack-width gathers — the reference-shaped fallback).  1-step
-        only; numerics-identical either way (equivalence-tested)."""
+        end-to-end updates/s on the v5e bench shape), "separate" (two
+        stack-width gathers — the reference-shaped fallback), or "slice"
+        (below).  1-step only for union/slice; per-sample VALUES are
+        identical across all three (equivalence-tested).
+
+        ``sample_mode="slice"``: replaces the random per-(env,slot)
+        gather with STREAMING reads — the r4 on-chip decomposition proved
+        the gather purely additive to the MXU compute (~0.33 ms/update at
+        the bench shape, artifacts/update_decomposition.json), and XLA's
+        TPU gather moves the 36 KB sample windows at a fraction of HBM
+        streaming bandwidth.  A batch is drawn as ``batch_size //
+        slice_group`` independent groups; each group picks one absolute
+        step s (uniform over the same draw range as uniform sampling) and
+        one aligned block of ``slice_group`` consecutive env columns
+        (uniform over blocks), then reads the whole
+        ``[slice_group, stack+1]`` frame window with ONE
+        ``lax.dynamic_slice`` — a contiguous HBM stream.  The ring is
+        stored with ``stack+n_step`` mirror slots (push writes slot p and,
+        for p < pad, slot cap+p) so windows never wrap and every slice is
+        contiguous; the per-sample age clamp is applied afterwards as
+        stack+1 fusable selects over the window axis (no gather).
+
+        Sampling distribution: each transition's MARGINAL probability is
+        uniform over the same (env, step) support as ``"union"``; within a
+        batch, samples are stratified into ``batch_size/slice_group``
+        (step, env-block) groups — group-mates share a timestep but come
+        from INDEPENDENT env instances (distinct episodes), the same
+        decorrelation argument that batches parallel-env on-policy data.
+        Replay's temporal decorrelation across updates is preserved: every
+        update draws fresh random steps.  Not available with PER or
+        n_step>1 (those keep the gather path)."""
         self.capacity = capacity
         self.num_envs = num_envs
         self.frame_hw = frame_hw
@@ -120,10 +149,24 @@ class FrameReplayBuffer:
         self.n_step = n_step
         self.gamma = gamma
         self.use_pallas = use_pallas
-        if sample_mode not in ("separate", "union"):
-            raise ValueError(f"sample_mode must be 'separate' or 'union', "
-                             f"got {sample_mode!r}")
+        if sample_mode not in ("separate", "union", "slice"):
+            raise ValueError(f"sample_mode must be 'separate', 'union' or "
+                             f"'slice', got {sample_mode!r}")
+        if sample_mode == "slice":
+            if per is not None:
+                raise ValueError("sample_mode='slice' is uniform-only; "
+                                 "PER needs the per-leaf gather path")
+            if n_step != 1:
+                raise ValueError("sample_mode='slice' supports n_step=1 "
+                                 "only (like 'union')")
+            if num_envs % slice_group:
+                raise ValueError(
+                    f"slice_group ({slice_group}) must divide num_envs "
+                    f"({num_envs})")
         self.sample_mode = sample_mode
+        self.slice_group = slice_group
+        # mirror pad: windows of stack+n_step slots never wrap the ring
+        self.slot_pad = stack + n_step if sample_mode == "slice" else 0
         self.per = per
         self.tree = SumTree(num_envs * capacity) if per is not None else None
         if self.tree is not None:
@@ -160,10 +203,11 @@ class FrameReplayBuffer:
             use_pallas=self.use_pallas,
             per=self.per,
             sample_mode=self.sample_mode,
+            slice_group=min(self.slice_group, num_envs),
         )
 
     def init(self, example=None) -> FrameReplayState:
-        n, cap = self.num_envs, self.capacity
+        n, cap = self.num_envs, self.capacity + self.slot_pad
         return FrameReplayState(
             frames=jnp.zeros((n, cap, self.frame_rows, 128), jnp.uint8),
             act=jnp.zeros((n, cap), jnp.int32),
@@ -193,8 +237,15 @@ class FrameReplayBuffer:
         tree = state.tree
         if self.tree is not None:
             tree = self._tree_push(state, p)
+        frames = state.frames.at[:, p].set(frame)
+        if self.slot_pad:
+            # mirror the first ``slot_pad`` ring slots past the end so
+            # slice-mode windows never wrap; a p ≥ slot_pad push rewrites
+            # its own slot (same bytes — keeps the write shape static)
+            p2 = jnp.where(p < self.slot_pad, p + self.capacity, p)
+            frames = frames.at[:, p2].set(frame)
         return state.replace(
-            frames=state.frames.at[:, p].set(frame),
+            frames=frames,
             act=state.act.at[:, p].set(action.astype(jnp.int32)),
             reward=state.reward.at[:, p].set(ts.reward.astype(jnp.float32)),
             terminated=state.terminated.at[:, p].set(ts.terminated),
@@ -256,7 +307,11 @@ class FrameReplayBuffer:
             from border_tpu.ops import gather_frames
 
             flat = state.frames.reshape((-1,) + state.frames.shape[2:])
-            flat_idx = e[:, None].astype(jnp.int32) * self.capacity + idx
+            # stride by the STORED slot count (≥ capacity when the slice
+            # mode's mirror pad is active; idx < capacity always)
+            flat_idx = (
+                e[:, None].astype(jnp.int32) * state.frames.shape[1] + idx
+            )
             g = gather_frames(
                 flat, flat_idx, interpret=(use_pallas == "interpret")
             )  # [B, K, R, 128]
@@ -303,6 +358,47 @@ class FrameReplayBuffer:
         next_obs = jnp.moveaxis(g[:, 1:], 1, -1)
         return obs, next_obs
 
+    def _gather_slice(self, state, s_g, e0, ages):
+        """Streaming union windows (``sample_mode="slice"``): ONE
+        ``dynamic_slice`` per (step, env-block) group reads the whole
+        ``[slice_group, stack+1]`` frame window as a contiguous HBM
+        stream (the mirror pad guarantees no ring wrap), then the
+        per-sample age clamp is applied as ``stack+1`` selects over the
+        window axis — value-identical to :meth:`_gather_union` (same
+        clamp algebra), with no gather HLO anywhere."""
+        S, G, cap = self.stack, self.slice_group, self.capacity
+        w0 = ((s_g - (S - 1)) % cap).astype(jnp.int32)
+        u = jnp.concatenate([
+            jax.lax.dynamic_slice(
+                state.frames,
+                (e0[g], w0[g], 0, 0),
+                (G, S + 1, self.frame_rows, 128),
+            )
+            for g in range(s_g.shape[0])
+        ], axis=0)  # [B, S+1, R, 128], ascending (oldest → s+1)
+        ks = jnp.arange(S)
+        # window position of clamped obs/next frame k (union algebra:
+        # u_j holds absolute step (s−(S−1))+j; clamped frame k sits at
+        # j = S − min(S−k, age+1) for obs, S − min(S−1−k, age+1) for next)
+        i_obs = S - jnp.minimum(S - ks[None, :], ages[:, None] + 1)
+        i_next = S - jnp.minimum(S - 1 - ks[None, :], ages[:, None] + 1)
+
+        def pick(idx):
+            out = jnp.zeros(u.shape[:1] + (S,) + u.shape[2:], u.dtype)
+            for j in range(S + 1):
+                m = (idx == j)[:, :, None, None]
+                out = jnp.where(m, u[:, j][:, None], out)
+            return out
+
+        h, w = self.frame_hw
+
+        def to_hw(g):
+            b, k = g.shape[:2]
+            g = g.reshape(b, k, -1)[:, :, : h * w].reshape(b, k, h, w)
+            return jnp.moveaxis(g, 1, -1)  # [B, H, W, S]
+
+        return to_hw(pick(i_obs)), to_hw(pick(i_next))
+
     def sample(
         self,
         state: FrameReplayState,
@@ -311,6 +407,35 @@ class FrameReplayBuffer:
         n_opts: Optional[jax.Array] = None,
     ) -> TransitionBatch:
         size = jnp.minimum(state.total, self.capacity)
+        if self.sample_mode == "slice":
+            G = self.slice_group
+            if batch_size % G:
+                raise ValueError(
+                    f"slice_group ({G}) must divide batch_size "
+                    f"({batch_size})")
+            k_e, k_s = jax.random.split(key)
+            lo = state.total - size + self.stack
+            hi = jnp.maximum(state.total - self.n_step, lo + 1)
+            s_g = jax.random.randint(k_s, (batch_size // G,), lo, hi)
+            e0 = (G * jax.random.randint(
+                k_e, (batch_size // G,), 0, self.num_envs // G
+            )).astype(jnp.int32)
+            e = (e0[:, None] + jnp.arange(G, dtype=jnp.int32)[None, :]
+                 ).reshape(-1)
+            s = jnp.repeat(s_g, G)
+            p = (s % self.capacity).astype(jnp.int32)
+            ages = state.age[e, p]
+            obs, next_obs = self._gather_slice(state, s_g, e0, ages)
+            return TransitionBatch(
+                obs=obs,
+                act=state.act[e, p],
+                next_obs=next_obs,
+                reward=state.reward[e, p],
+                terminated=state.terminated[e, p],
+                truncated=state.truncated[e, p],
+                weight=jnp.ones((batch_size,), jnp.float32),
+                ix_sample=e * self.capacity + p,
+            )
         if self.per is not None:
             # prioritized draw over (env × slot) leaves; residency is
             # guaranteed by the zero-priority maintenance in _tree_push

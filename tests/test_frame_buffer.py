@@ -260,3 +260,75 @@ def test_union_gather_matches_separate_stack_gathers():
         next_s = buf._gather_stack(bs, e, ss + 1, ages + 1)
         np.testing.assert_array_equal(np.asarray(obs_u), np.asarray(obs_s))
         np.testing.assert_array_equal(np.asarray(next_u), np.asarray(next_s))
+
+
+def test_slice_mode_matches_union_gather():
+    """sample_mode="slice" (streaming dynamic_slice windows + select
+    clamp, mirror-padded ring) must reproduce the union gather's frames
+    exactly for every sampleable (step, env-block) — including windows
+    that span the ring's wrap point (served by the mirror slots) and
+    age-clamped windows right after episode starts."""
+    env = make("Pong-v0")
+    vec = VecEnv(env, 4)
+    buf = FrameReplayBuffer(capacity=16, num_envs=4, sample_mode="slice",
+                            slice_group=2)
+    state = vec.reset(jax.random.PRNGKey(0))
+    bs = buf.init()
+    assert bs.frames.shape[1] == 16 + buf.slot_pad
+    key = jax.random.PRNGKey(1)
+    step = jax.jit(vec.step)
+    proc = jax.jit(buf.process_step)
+    for i in range(40):  # wraps the 16-slot ring 2.5×
+        key, k = jax.random.split(key)
+        act = jax.random.randint(k, (4,), 0, 6)
+        prev_obs, prev_len = state.obs, state.episode_length
+        ts, state = step(state, act)
+        bs = proc(bs, prev_obs, act, ts, prev_len)
+
+    total = int(bs.total)
+    lo = total - min(total, buf.capacity) + buf.stack
+    hi = total - buf.n_step
+    for s0 in range(lo, hi):
+        for e0v in (0, 2):
+            s_g = jnp.array([s0], jnp.int32)
+            e0 = jnp.array([e0v], jnp.int32)
+            e = e0v + jnp.arange(2, dtype=jnp.int32)
+            s = jnp.full((2,), s0, jnp.int32)
+            p = (s % buf.capacity).astype(jnp.int32)
+            ages = bs.age[e, p]
+            obs_sl, next_sl = buf._gather_slice(bs, s_g, e0, ages)
+            obs_u, next_u = buf._gather_union(bs, e, s, ages)
+            np.testing.assert_array_equal(np.asarray(obs_sl), np.asarray(obs_u))
+            np.testing.assert_array_equal(np.asarray(next_sl), np.asarray(next_u))
+
+
+def test_slice_mode_sample_and_trainer():
+    """sample() in slice mode: correct shapes, in-range draws, and the
+    fused Trainer runs a warmed chunk end to end."""
+    buf = FrameReplayBuffer(capacity=32, num_envs=4, sample_mode="slice",
+                            slice_group=2)
+    buf, bstate, log = _fill(buf, num_envs=4, steps=20)
+    batch = buf.sample(bstate, jax.random.PRNGKey(9), 8)
+    assert batch.obs.shape == (8, 84, 84, 4)
+    ix = np.asarray(batch.ix_sample)
+    e, p = ix // buf.capacity, ix % buf.capacity
+    assert (e < 4).all() and (p < 32).all()
+    # env blocks are aligned pairs; all group members share a slot
+    assert (e.reshape(-1, 2) == e.reshape(-1, 2)[:, :1] + [0, 1]).all()
+    assert (p.reshape(-1, 2) == p.reshape(-1, 2)[:, :1]).all()
+    # draws respect the uniform range [lo, hi)
+    s = p  # total < capacity
+    assert (s >= buf.stack).all() and (s < int(bstate.total) - 1).all()
+
+    env = make("Pong-v0")
+    agent = DQN(DQNConfig(model=lambda n: AtariCNN(out_dim=n), lr=1e-4))
+    cfg = TrainerConfig(num_envs=4, steps_per_chunk=8, batch_size=8,
+                        opt_interval=8, warmup_period=0, max_opts=10)
+    tr = Trainer(env, agent,
+                 FrameReplayBuffer(capacity=32, num_envs=4,
+                                   sample_mode="slice", slice_group=2), cfg)
+    k = jax.random.PRNGKey(0)
+    a, v, b = tr.init_states(k, k)
+    out = tr._chunk(a, v, b, k, True)
+    jax.block_until_ready(out[0])
+    assert np.isfinite(float(out[3]["loss"]))
