@@ -21,3 +21,6 @@ from border_tpu.envs.classic_control import (  # noqa: F401
 )
 from border_tpu.envs.py_env import PyVecEnv  # noqa: F401
 from border_tpu.envs.registry import make, register, registry  # noqa: F401
+
+# real-ALE seam: exported lazily-guarded (ale-py is optional)
+from border_tpu.envs.ale import AleVecEnv, ale_available  # noqa: F401
