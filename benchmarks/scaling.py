@@ -114,15 +114,11 @@ def _configure_jax():
     # never claim the chip
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    cache = (
-        "/root/repo/.jax_cache"
-        if jax.default_backend() not in ("cpu",)
-        else "/root/repo/.jax_cache_cpu"
+    from border_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache(
+        ".jax_cache" if jax.default_backend() != "cpu" else ".jax_cache_cpu"
     )
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return jax
 
 
