@@ -100,19 +100,26 @@ def time_config(tag: str, batch_size: int = 512, n_chunks: int = 8,
 
 
 def main():
+    # v2 grid: the first slice implementation (per-position 5-way select)
+    # measured 866 vs union's 1015 b512-eq/s — it read the window once
+    # per candidate (artifacts/update_variants_r5_selects.json, kept as
+    # the rejected-variant record).  This grid measures the closed-form
+    # clamp (u'_j = u[max(j, c)], one select pass) across group sizes;
+    # v1 showed per-slice fixed overhead dominating (g32 672 < g64 866 <
+    # g128 1033), so the sweep extends to g256/g512.
     results = {}
     results["union_b512"] = time_config("union_b512 (r4 default)")
-    for g in (32, 64, 128):
+    for g in (64, 128, 256, 512):
         results[f"slice_g{g}_b512"] = time_config(
             f"slice_g{g}_b512", sample_mode="slice", slice_group=g)
-    results["slice_g64_b1024"] = time_config(
-        "slice_g64_b1024", batch_size=1024, sample_mode="slice")
     results["per_b512"] = time_config("per_b512 (sum-tree PER)", per=True)
     # update-only cells isolate the update scan from the env share
     results["union_b512_updonly"] = time_config(
         "union_b512_updonly", update_only=True)
-    results["slice_g64_b512_updonly"] = time_config(
-        "slice_g64_b512_updonly", sample_mode="slice", update_only=True)
+    for g in (128, 512):
+        results[f"slice_g{g}_b512_updonly"] = time_config(
+            f"slice_g{g}_b512_updonly", sample_mode="slice", slice_group=g,
+            update_only=True)
     results["per_b512_updonly"] = time_config(
         "per_b512_updonly", per=True, update_only=True)
     return results

@@ -376,20 +376,21 @@ class FrameReplayBuffer:
             )
             for g in range(s_g.shape[0])
         ], axis=0)  # [B, S+1, R, 128], ascending (oldest → s+1)
-        ks = jnp.arange(S)
-        # window position of clamped obs/next frame k (union algebra:
-        # u_j holds absolute step (s−(S−1))+j; clamped frame k sits at
-        # j = S − min(S−k, age+1) for obs, S − min(S−1−k, age+1) for next)
-        i_obs = S - jnp.minimum(S - ks[None, :], ages[:, None] + 1)
-        i_next = S - jnp.minimum(S - 1 - ks[None, :], ages[:, None] + 1)
-
-        def pick(idx):
-            out = jnp.zeros(u.shape[:1] + (S,) + u.shape[2:], u.dtype)
-            for j in range(S + 1):
-                m = (idx == j)[:, :, None, None]
-                out = jnp.where(m, u[:, j][:, None], out)
-            return out
-
+        # age clamp via the union algebra's closed form: the clamped
+        # window is u'_j = u[max(j, c)] with c = max(S−1−age, 0) — i.e.
+        # the first c positions repeat the episode's first frame u_c.
+        # ONE select pass over the window (plus a tiny per-sample
+        # single-frame gather for u_c) — both stacks are then plain
+        # contiguous slices of u', exactly like the union gather's
+        # consumption (a per-position 5-way select was measured 15 %
+        # SLOWER end-to-end than the gather it replaced: it reads the
+        # window once per candidate; this form reads it once, total)
+        c = jnp.maximum(S - 1 - ages, 0).astype(jnp.int32)  # [B]
+        u_c = jnp.take_along_axis(u, c[:, None, None, None], axis=1)
+        js = jnp.arange(S + 1, dtype=jnp.int32)
+        u = jnp.where(
+            js[None, :, None, None] < c[:, None, None, None], u_c, u
+        )
         h, w = self.frame_hw
 
         def to_hw(g):
@@ -397,7 +398,7 @@ class FrameReplayBuffer:
             g = g.reshape(b, k, -1)[:, :, : h * w].reshape(b, k, h, w)
             return jnp.moveaxis(g, 1, -1)  # [B, H, W, S]
 
-        return to_hw(pick(i_obs)), to_hw(pick(i_next))
+        return to_hw(u[:, :S]), to_hw(u[:, 1:])
 
     def sample(
         self,
