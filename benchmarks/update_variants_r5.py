@@ -47,7 +47,8 @@ def _sync(*trees):
 
 def time_config(tag: str, batch_size: int = 512, n_chunks: int = 8,
                 sample_mode: str = "union", slice_group: int = 64,
-                per: bool = False, update_only: bool = False):
+                per: bool = False, update_only: bool = False,
+                ups: int = 1, sort_samples: bool = False):
     env = make("Pong-v0")
     agent = DQN(DQNConfig(
         model=lambda n: AtariCNN(out_dim=n), lr=1e-4, double_dqn=True,
@@ -56,11 +57,12 @@ def time_config(tag: str, batch_size: int = 512, n_chunks: int = 8,
         num_envs=1024, steps_per_chunk=32, batch_size=batch_size,
         opt_interval=batch_size // 8,  # 8 samples per transition
         warmup_period=0, max_opts=10**9,
+        updates_per_sample_batch=ups,
     )
     buf = FrameReplayBuffer(
         capacity=256 if not per else 512,  # PER needs N·cap = 2^k
         num_envs=1024, sample_mode=sample_mode, slice_group=slice_group,
-        per=PerConfig() if per else None,
+        per=PerConfig() if per else None, sort_samples=sort_samples,
     )
     tr = Trainer(env, agent, buf, cfg)
     key = jax.random.PRNGKey(0)
@@ -100,26 +102,30 @@ def time_config(tag: str, batch_size: int = 512, n_chunks: int = 8,
 
 
 def main():
-    # v2 grid: the first slice implementation (per-position 5-way select)
-    # measured 866 vs union's 1015 b512-eq/s — it read the window once
-    # per candidate (artifacts/update_variants_r5_selects.json, kept as
-    # the rejected-variant record).  This grid measures the closed-form
-    # clamp (u'_j = u[max(j, c)], one select pass) across group sizes;
-    # v1 showed per-slice fixed overhead dominating (g32 672 < g64 866 <
-    # g128 1033), so the sweep extends to g256/g512.
+    # v3 grid (final ladder).  v1 (per-position select clamp: 866, kept
+    # in update_variants_r5_selects.json) and v2 (closed-form clamp:
+    # 906, update_variants_r5_slice.json) both measured the slice route
+    # LOSING to the fused XLA gather — the gather fuses into its conv
+    # consumers, dynamic_slice+concat does not.  v3 attacks what the r4
+    # trace actually measured: ~166 us/update while-loop self-time and
+    # the per-dispatch gather/transpose chain — amortized by sampling
+    # ONE k*B batch per scan iteration and applying k sequential B-sized
+    # updates (identical SGD semantics), plus optional sorted draws
+    # (monotone gather addresses; a batch is a set).
     results = {}
     results["union_b512"] = time_config("union_b512 (r4 default)")
-    for g in (64, 128, 256, 512):
-        results[f"slice_g{g}_b512"] = time_config(
-            f"slice_g{g}_b512", sample_mode="slice", slice_group=g)
+    results["union_b512_sorted"] = time_config(
+        "union_b512_sorted", sort_samples=True)
+    for k in (2, 4, 8):
+        results[f"union_b512_ups{k}"] = time_config(
+            f"union_b512_ups{k}", ups=k)
+    results["union_b512_ups4_sorted"] = time_config(
+        "union_b512_ups4_sorted", ups=4, sort_samples=True)
     results["per_b512"] = time_config("per_b512 (sum-tree PER)", per=True)
-    # update-only cells isolate the update scan from the env share
     results["union_b512_updonly"] = time_config(
         "union_b512_updonly", update_only=True)
-    for g in (128, 512):
-        results[f"slice_g{g}_b512_updonly"] = time_config(
-            f"slice_g{g}_b512_updonly", sample_mode="slice", slice_group=g,
-            update_only=True)
+    results["union_b512_ups4_updonly"] = time_config(
+        "union_b512_ups4_updonly", ups=4, update_only=True)
     results["per_b512_updonly"] = time_config(
         "per_b512_updonly", per=True, update_only=True)
     return results

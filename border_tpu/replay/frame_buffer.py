@@ -94,6 +94,7 @@ class FrameReplayBuffer:
         per: Optional[PerConfig] = None,
         sample_mode: str = "union",
         slice_group: int = 64,
+        sort_samples: bool = False,
     ):
         """``n_step > 1`` enables n-step backups: sampled batches carry
         ``reward = Σ γ^k r_{t+k}`` (stopped at the first episode boundary),
@@ -165,6 +166,11 @@ class FrameReplayBuffer:
                     f"({num_envs})")
         self.sample_mode = sample_mode
         self.slice_group = slice_group
+        # sort_samples: reorder each uniform batch's draws ascending in
+        # (env, slot) before gathering — a batch is a SET (same multiset
+        # of iid draws, uniform weights), so this is semantics-free; it
+        # gives the replay gather monotone HBM addresses
+        self.sort_samples = sort_samples
         # mirror pad: windows of stack+n_step slots never wrap the ring
         self.slot_pad = stack + n_step if sample_mode == "slice" else 0
         self.per = per
@@ -204,6 +210,7 @@ class FrameReplayBuffer:
             per=self.per,
             sample_mode=self.sample_mode,
             slice_group=min(self.slice_group, num_envs),
+            sort_samples=self.sort_samples,
         )
 
     def init(self, example=None) -> FrameReplayState:
@@ -457,6 +464,11 @@ class FrameReplayBuffer:
             lo = state.total - size + self.stack
             hi = jnp.maximum(state.total - self.n_step, lo + 1)
             s = jax.random.randint(k_s, (batch_size,), lo, hi)
+            if self.sort_samples:
+                order = jnp.argsort(
+                    e * self.capacity + (s % self.capacity)
+                )
+                e, s = e[order], s[order]
             weight = jnp.ones((batch_size,), jnp.float32)
 
         p = (s % self.capacity).astype(jnp.int32)

@@ -225,6 +225,41 @@ class Trainer:
         B = self.config.batch_size
         keys = jax.random.split(key, self.updates_per_chunk + 1)
 
+        ups = self.config.updates_per_sample_batch
+        if ups > 1 and self.buffer.per is None:
+            if self.updates_per_chunk % ups:
+                from border_tpu.errors import ConfigError
+
+                raise ConfigError(
+                    f"updates_per_sample_batch ({ups}) must divide the "
+                    f"chunk's update count ({self.updates_per_chunk})"
+                )
+
+            def body(carry, k):
+                agent_state = carry
+                ks = jax.random.split(k, ups + 1)
+                big = self.buffer.sample(
+                    buf_state, ks[0], B * ups, n_opts=agent_state.n_opts
+                )
+                all_metrics = []
+                for i in range(ups):
+                    sub = jax.tree.map(
+                        lambda x: x[i * B:(i + 1) * B], big
+                    )
+                    agent_state, metrics, _ = self.agent.update(
+                        agent_state, sub, ks[1 + i]
+                    )
+                    all_metrics.append(metrics)
+                return agent_state, jax.tree.map(
+                    lambda *m: jnp.stack(m).mean(0), *all_metrics
+                )
+
+            agent_state, metrics = jax.lax.scan(
+                body, agent_state, keys[1:1 + self.updates_per_chunk // ups],
+                unroll=self.config.update_scan_unroll,
+            )
+            return agent_state, buf_state, jax.tree.map(jnp.mean, metrics)
+
         if self.buffer.per is None and self.config.prefetch_sample:
             batch0 = self.buffer.sample(
                 buf_state, keys[0], B, n_opts=agent_state.n_opts
