@@ -118,11 +118,16 @@ class FrameReplayBuffer:
         identical across all three (equivalence-tested).
 
         ``sample_mode="slice"``: replaces the random per-(env,slot)
-        gather with STREAMING reads — the r4 on-chip decomposition proved
-        the gather purely additive to the MXU compute (~0.33 ms/update at
-        the bench shape, artifacts/update_decomposition.json), and XLA's
-        TPU gather moves the 36 KB sample windows at a fraction of HBM
-        streaming bandwidth.  A batch is drawn as ``batch_size //
+        gather with streaming reads.  MEASURED GUIDANCE (v5e bench
+        shape, ARCHITECTURE.md round 5): inside the fused update scan
+        this mode LOSES to the default union gather (best 906 vs 1030
+        b512-eq updates/s, artifacts/update_variants_r5_slice.json) —
+        XLA fuses the gather into its conv consumers while the
+        slice+concat+clamp chain materializes the window first.  It
+        remains the right shape where that fusion does not exist
+        (standalone sampling, CPU meshes, very large frames), and its
+        learning behavior is certified (pong_slice curve, 20.5 median).
+        A batch is drawn as ``batch_size //
         slice_group`` independent groups; each group picks one absolute
         step s (uniform over the same draw range as uniform sampling) and
         one aligned block of ``slice_group`` consecutive env columns
