@@ -38,9 +38,9 @@ def _stage(tmp_path, mutate=None):
 def test_gate_passes_on_committed_artifacts(tmp_path):
     rc, d = _run_gate(_stage(tmp_path))
     assert rc == 0 and d["value"] == 1
-    # all configs present (9 online + 3 offline; breakout_host + pong_per
-    # join the list as their artifacts land), every one on the single rule
-    assert len(d["results"]) >= 12
+    # all FOURTEEN configs present (9 online + breakout_host + pong_per
+    # + 3 offline), every one on the single rule
+    assert len(d["results"]) == 14
     for name, v in d["results"].items():
         assert v["status"] == "pass", (name, v)
         assert len(v["seeds"]) >= 3, name
