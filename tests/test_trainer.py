@@ -216,3 +216,44 @@ def test_clip_reward_nstep_rejected():
         Trainer(env, agent, buf, SMALL)
     # 1-step clip_reward stays allowed
     Trainer(env, agent, ReplayBuffer(1024), SMALL)
+
+
+def test_updates_per_sample_batch_accounting_and_guards():
+    """updates_per_sample_batch=k draws one k·B sample per scan iteration
+    and applies k SEQUENTIAL B-sized updates: the chunk's update count is
+    unchanged, metrics stay finite, and invalid/PER combinations fall
+    back or fail loudly."""
+    import dataclasses
+
+    import pytest
+
+    from border_tpu.errors import ConfigError
+
+    env = make("CartPole-v1")
+    cfg = dataclasses.replace(SMALL, updates_per_sample_batch=2,
+                              warmup_period=0)
+    tr = Trainer(env, DQN(DQNConfig(hidden=(16,))), ReplayBuffer(1024), cfg)
+    k = jax.random.PRNGKey(0)
+    a, v, b = tr.init_states(k, k)
+    out = tr._chunk(a, v, b, k, True)
+    jax.block_until_ready(out[0])
+    assert int(out[0].n_opts) == tr.updates_per_chunk
+    assert np.isfinite(float(out[3]["loss"]))
+
+    # k must divide the chunk's update count
+    bad = dataclasses.replace(cfg, updates_per_sample_batch=7)
+    tr_bad = Trainer(env, DQN(DQNConfig(hidden=(16,))), ReplayBuffer(1024),
+                     bad)
+    a, v, b = tr_bad.init_states(k, k)
+    with pytest.raises(ConfigError, match="updates_per_sample_batch"):
+        tr_bad._chunk(a, v, b, k, True)
+
+    # PER keeps the strict sample→update→feedback ordering: the knob is
+    # ignored (sequential path) and the chunk still runs
+    per_cfg = dataclasses.replace(cfg, updates_per_sample_batch=2)
+    tr_per = Trainer(env, DQN(DQNConfig(hidden=(16,))),
+                     ReplayBuffer(1024, per=PerConfig()), per_cfg)
+    a, v, b = tr_per.init_states(k, k)
+    out = tr_per._chunk(a, v, b, k, True)
+    jax.block_until_ready(out[0])
+    assert int(out[0].n_opts) == tr_per.updates_per_chunk
