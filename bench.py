@@ -63,7 +63,7 @@ def gate() -> int:
     ok = True
     for name in ("cartpole", "pendulum", "pong", "seaquest",
                  "breakout", "freeway", "spaceinvaders", "pong_host",
-                 "pendulum_host", "breakout_host", "pong_per",
+                 "pendulum_host", "breakout_host", "pong_per", "pong_slice",
                  "bc_offline", "awac_offline", "iql_offline"):
         paths = sorted(
             [p for p in (os.path.join(art, f"{name}_curve.json"),)

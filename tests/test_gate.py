@@ -38,9 +38,9 @@ def _stage(tmp_path, mutate=None):
 def test_gate_passes_on_committed_artifacts(tmp_path):
     rc, d = _run_gate(_stage(tmp_path))
     assert rc == 0 and d["value"] == 1
-    # all FOURTEEN configs present (9 online + breakout_host + pong_per
-    # + 3 offline), every one on the single rule
-    assert len(d["results"]) == 14
+    # all FIFTEEN configs present (9 online + breakout_host + pong_per
+    # + pong_slice + 3 offline), every one on the single rule
+    assert len(d["results"]) == 15
     for name, v in d["results"].items():
         assert v["status"] == "pass", (name, v)
         assert len(v["seeds"]) >= 3, name
